@@ -1,0 +1,86 @@
+"""Point-cloud op dispatch: XLA compositions by default, Pallas TPU kernels
+for the hot ops where available.
+
+Select globally with ``set_impl('xla'|'pallas'|'auto')`` or the environment
+variable ``TUMSEG_OPS_IMPL``. 'auto' (default) uses Pallas kernels on TPU
+backends and XLA elsewhere.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Optional
+
+import jax
+
+from tumseg.ops import core as _xla
+from tumseg.ops.core import (  # noqa: F401  (always-XLA helpers)
+    index_points,
+    pc_normalize,
+    sample_and_group_all,
+    square_distance,
+    three_nn,
+)
+
+_IMPL = os.environ.get("TUMSEG_OPS_IMPL", "auto")
+
+
+def set_impl(impl: str) -> None:
+    global _IMPL
+    if impl not in ("xla", "pallas", "auto"):
+        raise ValueError(f"unknown ops impl {impl!r}")
+    _IMPL = impl
+
+
+def _use_pallas() -> bool:
+    if _IMPL == "xla":
+        return False
+    if _IMPL == "pallas":
+        return True
+    try:
+        return jax.default_backend() == "tpu"
+    except Exception:  # pragma: no cover
+        return False
+
+
+def _pallas():
+    from tumseg.ops.pallas import kernels  # lazy: only imported when selected
+    return kernels
+
+
+def farthest_point_sample(xyz, npoint, start=None):
+    if _use_pallas():
+        try:
+            return _pallas().farthest_point_sample(xyz, npoint, start=start)
+        except NotImplementedError:
+            pass
+    return _xla.farthest_point_sample(xyz, npoint, start=start)
+
+
+def query_ball_point(radius, nsample, xyz, new_xyz):
+    if _use_pallas():
+        try:
+            return _pallas().query_ball_point(radius, nsample, xyz, new_xyz)
+        except NotImplementedError:
+            pass
+    return _xla.query_ball_point(radius, nsample, xyz, new_xyz)
+
+
+def sample_and_group(npoint, radius, nsample, xyz, points, fps_start=None):
+    fps_idx = farthest_point_sample(xyz, npoint, start=fps_start)
+    new_xyz = index_points(xyz, fps_idx)
+    idx = query_ball_point(radius, nsample, xyz, new_xyz)
+    import jax.numpy as jnp
+
+    grouped_xyz = index_points(xyz, idx)
+    grouped_xyz_norm = grouped_xyz - new_xyz[:, :, None, :]
+    if points is not None:
+        grouped_points = index_points(points, idx)
+        new_points = jnp.concatenate([grouped_xyz_norm, grouped_points], axis=-1)
+    else:
+        new_points = grouped_xyz_norm
+    return new_xyz, new_points
+
+
+def three_interpolate(xyz1, xyz2, points2):
+    return _xla.three_interpolate(xyz1, xyz2, points2)
