@@ -1,0 +1,133 @@
+"""Model-level tests: shapes, losses, BN stat flow, determinism, grads."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from tumseg import models
+from tumseg.nn import layers as L
+
+
+@pytest.fixture(params=["pointnet2_sem_seg", "pointnet_sem_seg"])
+def model(request):
+    return models.get_module(request.param)
+
+
+def _input(rng, B=2, N=256, C=6):
+    return jnp.array(rng.random((B, N, C)).astype(np.float32))
+
+
+def test_forward_shapes(model, rng):
+    var = model.init(jax.random.PRNGKey(0), num_classes=8, num_extra_features=0)
+    x = _input(rng)
+    logp, aux, new_stats = model.apply(var, x, training=False)
+    assert logp.shape == (2, 256, 8)
+    # log_softmax rows sum to 1 in prob space
+    np.testing.assert_allclose(np.exp(np.asarray(logp)).sum(-1), 1.0, atol=1e-5)
+    assert jax.tree_util.tree_structure(new_stats) == jax.tree_util.tree_structure(
+        var["batch_stats"])
+
+
+def test_extra_features_channel_contract(model, rng):
+    var = model.init(jax.random.PRNGKey(0), num_classes=8, num_extra_features=3)
+    x = _input(rng, C=9)
+    logp, _, _ = model.apply(var, x, training=False)
+    assert logp.shape == (2, 256, 8)
+
+
+def test_loss_finite_and_weighted(model, rng):
+    var = model.init(jax.random.PRNGKey(0), num_classes=8, num_extra_features=0)
+    x = _input(rng)
+    target = jnp.array(rng.integers(0, 8, (2, 256)))
+    weight = jnp.array(np.linspace(0.5, 2.0, 8).astype(np.float32))
+    logp, aux, _ = model.apply(var, x, training=False)
+    lv = model.loss(logp, target, aux, weight)
+    assert np.isfinite(float(lv))
+    # uniform weights reduce to plain mean NLL
+    lu = model.loss(logp, target, aux, jnp.ones(8))
+    picked = np.take_along_axis(np.asarray(logp).reshape(-1, 8),
+                                np.asarray(target).reshape(-1, 1), 1)
+    if model.__name__.endswith("pointnet2_sem_seg"):
+        np.testing.assert_allclose(float(lu), -picked.mean(), rtol=1e-5)
+
+
+def test_bn_stats_update_only_in_training(model, rng):
+    var = model.init(jax.random.PRNGKey(0), num_classes=8, num_extra_features=0)
+    x = _input(rng)
+    _, _, s_eval = model.apply(var, x, training=False)
+    leaves0 = jax.tree_util.tree_leaves(var["batch_stats"])
+    leaves_eval = jax.tree_util.tree_leaves(s_eval)
+    for a, b in zip(leaves0, leaves_eval):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    _, _, s_train = model.apply(var, x, training=True, bn_momentum=0.1,
+                                rngs={"dropout": jax.random.PRNGKey(1)})
+    changed = any(
+        not np.allclose(np.asarray(a), np.asarray(b))
+        for a, b in zip(leaves0, jax.tree_util.tree_leaves(s_train)))
+    assert changed
+
+
+def test_train_step_grad(model, rng):
+    var = model.init(jax.random.PRNGKey(0), num_classes=8, num_extra_features=0)
+    x = _input(rng)
+    target = jnp.array(rng.integers(0, 8, (2, 256)))
+    weight = jnp.ones(8)
+
+    def loss_fn(params):
+        logp, aux, _ = model.apply(
+            {"params": params, "batch_stats": var["batch_stats"]}, x,
+            training=True, rngs={"dropout": jax.random.PRNGKey(2),
+                                 "fps": jax.random.PRNGKey(3)})
+        return model.loss(logp, target, aux, weight)
+
+    g = jax.grad(loss_fn)(var["params"])
+    norms = [float(jnp.sum(jnp.abs(leaf))) for leaf in jax.tree_util.tree_leaves(g)]
+    assert all(np.isfinite(norms))
+    assert sum(n > 0 for n in norms) > len(norms) * 0.5  # most params get signal
+
+
+def test_eval_deterministic(model, rng):
+    var = model.init(jax.random.PRNGKey(0), num_classes=8, num_extra_features=0)
+    x = _input(rng)
+    a, _, _ = model.apply(var, x, training=False)
+    b, _, _ = model.apply(var, x, training=False)
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_batch_norm_torch_semantics():
+    # biased var for normalization, unbiased for running stats
+    x = jnp.array(np.random.default_rng(0).random((4, 16, 8)).astype(np.float32))
+    p, s = L.batchnorm_init(8)
+    y, new_s = L.batch_norm(p, s, x, training=True, momentum=0.1)
+    flat = np.asarray(x).reshape(-1, 8)
+    np.testing.assert_allclose(np.asarray(y),
+                               ((flat - flat.mean(0)) / np.sqrt(flat.var(0) + 1e-5)
+                                ).reshape(4, 16, 8), atol=1e-4)
+    np.testing.assert_allclose(np.asarray(new_s["mean"]), 0.1 * flat.mean(0),
+                               atol=1e-6)
+    np.testing.assert_allclose(np.asarray(new_s["var"]),
+                               0.9 * 1.0 + 0.1 * flat.var(0, ddof=1), atol=1e-5)
+
+
+def test_weighted_nll_matches_torch_formula():
+    r = np.random.default_rng(1)
+    logits = r.random((32, 5)).astype(np.float32)
+    logp = np.log(np.exp(logits) / np.exp(logits).sum(1, keepdims=True))
+    tgt = r.integers(0, 5, 32)
+    w = r.random(5).astype(np.float32) + 0.5
+    got = float(L.weighted_nll_loss(jnp.array(logp), jnp.array(tgt), jnp.array(w)))
+    want = -(w[tgt] * logp[np.arange(32), tgt]).sum() / w[tgt].sum()
+    np.testing.assert_allclose(got, want, rtol=1e-5)
+
+
+def test_feature_transform_regularizer_zero_for_orthogonal():
+    eye = jnp.broadcast_to(jnp.eye(64), (3, 64, 64))
+    assert float(L.feature_transform_regularizer(eye)) < 1e-5
+
+
+def test_registry():
+    assert models.get_module("pointnet2_sem_seg_original").__name__.endswith(
+        "pointnet2_sem_seg")
+    with pytest.raises(ValueError):
+        models.get_module("nope")

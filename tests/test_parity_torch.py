@@ -1,0 +1,124 @@
+"""Golden parity tests against the PyTorch reference implementation.
+
+These build the reference model (imported from /root/reference, read-only),
+port its randomly-initialized state_dict through
+tools.port_torch_checkpoint.port_state_dict, and verify our TPU-native
+forward produces the same log-probabilities on the same input — proving the
+"same weights -> same predictions" contract that underpins mIoU parity.
+
+Skipped automatically when torch or the reference checkout is unavailable.
+"""
+
+import os
+import sys
+
+import numpy as np
+import pytest
+
+jnp = pytest.importorskip("jax.numpy")
+import jax  # noqa: E402
+
+REF = "/root/reference"
+torch = pytest.importorskip("torch")
+pytestmark = pytest.mark.skipif(
+    not os.path.isdir(os.path.join(REF, "models")),
+    reason="reference checkout not available")
+
+sys.path.insert(0, REF)
+sys.path.insert(0, os.path.join(REF, "models"))
+
+from tools.port_torch_checkpoint import port_state_dict  # noqa: E402
+from tumseg import models  # noqa: E402
+
+
+def _deterministic_randint(monkeypatch):
+    """Pin the reference's stochastic FPS start (torch.randint) to 0 so both
+    sides pick identical centroids."""
+    real = torch.randint
+
+    def fake(low, high, size, **kw):
+        if low == 0 and len(size) == 1:  # the FPS start draw
+            return torch.zeros(size, dtype=kw.get("dtype", torch.long))
+        return real(low, high, size, **kw)
+
+    monkeypatch.setattr(torch, "randint", fake)
+
+
+@pytest.mark.parametrize("extra", [0, 3])
+def test_pointnet2_forward_parity(monkeypatch, extra):
+    _deterministic_randint(monkeypatch)
+    import importlib
+
+    ref_mod = importlib.import_module("models.pointnet2_sem_seg")
+    torch.manual_seed(0)
+    ref = ref_mod.get_model(8, extra).eval()
+
+    variables = port_state_dict(ref.state_dict(), "pointnet2_sem_seg")
+    variables = jax.tree_util.tree_map(jnp.asarray, variables)
+    mine = models.get_module("pointnet2_sem_seg")
+
+    r = np.random.default_rng(0)
+    x = r.random((1, 2048, 6 + extra)).astype(np.float32)
+
+    with torch.no_grad():
+        ref_out, _ = ref(torch.from_numpy(x).transpose(2, 1))
+    got, _, _ = mine.apply(variables, jnp.asarray(x), training=False)
+
+    ref_np = ref_out.numpy()
+    got_np = np.asarray(got)
+    # identical predictions everywhere
+    assert (got_np.argmax(-1) == ref_np.argmax(-1)).mean() > 0.999
+    np.testing.assert_allclose(got_np, ref_np, atol=2e-3)
+
+
+@pytest.mark.parametrize("extra", [0])
+def test_pointnet_forward_parity(extra):
+    import importlib
+
+    ref_mod = importlib.import_module("pointnet_sem_seg")
+    torch.manual_seed(0)
+    ref = ref_mod.get_model(8, extra).eval()
+
+    variables = port_state_dict(ref.state_dict(), "pointnet_sem_seg")
+    variables = jax.tree_util.tree_map(jnp.asarray, variables)
+    mine = models.get_module("pointnet_sem_seg")
+
+    r = np.random.default_rng(1)
+    x = r.random((2, 1024, 6 + extra)).astype(np.float32)
+
+    with torch.no_grad():
+        ref_out, ref_tf = ref(torch.from_numpy(x).transpose(2, 1))
+    got, got_tf, _ = mine.apply(variables, jnp.asarray(x), training=False)
+
+    np.testing.assert_allclose(np.asarray(got_tf), ref_tf.numpy(), atol=1e-4)
+    np.testing.assert_allclose(np.asarray(got), ref_out.numpy(), atol=2e-3)
+    assert (np.asarray(got).argmax(-1) == ref_out.numpy().argmax(-1)).all()
+
+
+def test_loss_parity():
+    """Weighted NLL + transform regularizer match torch.nn.functional."""
+    r = np.random.default_rng(2)
+    logits = r.random((64, 8)).astype(np.float32)
+    logp = logits - np.log(np.exp(logits).sum(1, keepdims=True))
+    tgt = r.integers(0, 8, 64)
+    w = (r.random(8) + 0.5).astype(np.float32)
+    import torch.nn.functional as F
+
+    want = F.nll_loss(torch.from_numpy(logp), torch.from_numpy(tgt),
+                      weight=torch.from_numpy(w)).item()
+    mine = models.get_module("pointnet2_sem_seg")
+    got = float(mine.loss(jnp.asarray(logp)[None], jnp.asarray(tgt)[None],
+                          None, jnp.asarray(w)))
+    np.testing.assert_allclose(got, want, rtol=1e-5)
+
+    # pointnet loss with regularizer
+    trans = r.random((4, 64, 64)).astype(np.float32)
+    tI = torch.eye(64)[None]
+    tt = torch.from_numpy(trans)
+    reg = torch.mean(torch.norm(torch.bmm(tt, tt.transpose(2, 1)) - tI,
+                                dim=(1, 2))).item()
+    want2 = want + 0.001 * reg
+    pn = models.get_module("pointnet_sem_seg")
+    got2 = float(pn.loss(jnp.asarray(logp)[None], jnp.asarray(tgt)[None],
+                         jnp.asarray(trans), jnp.asarray(w)))
+    np.testing.assert_allclose(got2, want2, rtol=1e-4)
