@@ -1,0 +1,165 @@
+"""Dataset, augmentation, and loader tests on synthetic LAS tiles."""
+
+import numpy as np
+import pytest
+
+from tumseg.data import augment
+from tumseg.data.dataset import TestGridDataset, TrainBlockDataset
+from tumseg.data.las import write_las
+from tumseg.data.loader import BatchLoader
+
+
+@pytest.fixture
+def tiles(tmp_path):
+    """Two synthetic facade tiles with RGB + 18-class codes."""
+    paths = []
+    for i in range(2):
+        r = np.random.default_rng(i)
+        n = 20000
+        xyz = np.stack([r.uniform(0, 6, n), r.uniform(0, 3, n),
+                        r.uniform(0, 10, n)], 1)
+        labels = r.choice([1, 2, 3, 5, 7, 8, 11, 13], n)
+        rgb = r.integers(0, 256, (n, 3)).astype(np.uint16)
+        p = str(tmp_path / f"tile{i}.las")
+        write_las(p, xyz, labels, rgb=rgb)
+        paths.append(p)
+    return paths
+
+
+def test_train_dataset_block_shapes(tiles):
+    ds = TrainBlockDataset(tiles, num_classes=8, num_point=512, class8=True,
+                           color=True, seed=0)
+    assert len(ds) > 0
+    feats, labels = ds[0]
+    assert feats.shape == (512, 9)  # 6 base + rgb
+    assert labels.shape == (512,)
+    assert labels.min() >= 0 and labels.max() <= 7
+    # channel semantics: block-centered xy, raw z, room-max normalized 3:6
+    assert np.abs(feats[:, 0]).max() <= 0.5 + 1e-9
+    assert np.abs(feats[:, 1]).max() <= 0.5 + 1e-9
+    assert feats[:, 2].min() >= 0
+    assert 0 <= feats[:, 3].min() and feats[:, 5].max() <= 1.0 + 1e-9
+    # rgb scaled to [0,1]
+    assert feats[:, 6:9].max() <= 1.0
+
+
+def test_train_dataset_no_color(tiles):
+    ds = TrainBlockDataset(tiles, num_classes=18, num_point=256, class8=False,
+                           color=False, seed=0)
+    feats, labels = ds[0]
+    assert feats.shape == (256, 6)
+    assert ds.num_extra_features == 0
+    # 18-class mode: raw codes pass through unmapped (SURVEY §5.1.9)
+    assert labels.max() <= 17
+
+
+def test_train_dataset_copy_split(tiles):
+    ds = TrainBlockDataset(tiles, num_classes=8, num_point=256, seed=0)
+    n = len(ds)
+    idx = np.arange(n)
+    train = ds.copy(indices=idx[: int(0.7 * n)])
+    evald = ds.copy(indices=idx[int(0.7 * n):])
+    assert len(train) + len(evald) == n
+    assert train.room_points is not ds.room_points  # shallow list copy
+    f, l = train[0]
+    assert f.shape[0] == 256
+
+
+def test_labelweights_cube_root(tiles):
+    ds = TrainBlockDataset(tiles, num_classes=8, num_point=256, seed=0)
+    w = ds.calculate_labelweights()
+    assert w.shape == (8,)
+    assert np.isfinite(w).all() and (w >= 1.0 - 1e-6).all()
+    assert abs(w.min() - 1.0) < 1e-5  # most frequent class has weight 1
+
+
+def test_save_load_roundtrip(tiles, tmp_path):
+    ds = TrainBlockDataset(tiles, num_classes=8, num_point=256, seed=0)
+    p = str(tmp_path / "ds.pkl")
+    ds.save_data(p)
+    ds2 = TrainBlockDataset.load_data(p)
+    assert len(ds2) == len(ds)
+    assert ds2.num_extra_features == ds.num_extra_features
+    f, l = ds2[0]
+    assert f.shape == (256, 9)
+
+
+def test_filtered_update(tiles):
+    ds = TrainBlockDataset(tiles, num_classes=8, num_point=256, seed=0)
+    ds.non_index = [0]
+    before = len(ds)
+    ds.filtered_update()
+    assert len(ds) < before
+    assert set(np.unique(ds.room_idxs)) == {1}
+
+
+def test_test_grid_dataset(tiles):
+    ds = TestGridDataset(las_file_list=tiles[:1], num_classes=8,
+                         block_points=512, class8=True, color=True, seed=0)
+    assert len(ds) == 1
+    data, labels, smpw, pidx = ds[0]
+    B = data.shape[0]
+    assert data.shape == (B, 512, 9)
+    assert labels.shape == smpw.shape == pidx.shape == (B, 512)
+    n_scene = ds.scene_points_list[0].shape[0]
+    assert pidx.max() < n_scene
+    # every original point appears at least once across blocks
+    assert np.unique(pidx.astype(int)).size == n_scene
+    # weights = labelweights[gt]
+    np.testing.assert_allclose(
+        smpw.ravel(), ds.labelweights[labels.ravel().astype(int)], rtol=1e-6)
+    # block-centered coordinates bounded by block size + padding
+    assert np.abs(data[..., 0]).max() <= 0.5 + ds.padding + 1e-6
+
+
+def test_test_grid_copy_and_index_update(tiles):
+    ds = TestGridDataset(las_file_list=tiles, num_classes=8, block_points=512,
+                         seed=0)
+    sub = ds.copy([1])
+    assert len(sub) == 1
+    ds.index_update([0])
+    assert len(ds) == 1
+    assert len(ds.labelweights) == 8
+
+
+def test_batch_loader(tiles):
+    ds = TrainBlockDataset(tiles, num_classes=8, num_point=256, seed=0)
+    loader = BatchLoader(ds, batch_size=4, shuffle=True, drop_last=True,
+                         num_workers=2, seed=1)
+    batches = list(loader)
+    assert len(batches) == len(ds) // 4
+    f, l = batches[0]
+    assert f.shape == (4, 256, 9) and f.dtype == np.float32
+    assert l.shape == (4, 256) and l.dtype == np.int32
+
+
+def test_rotate_z_preserves_z_and_norm(rng):
+    pts = rng.random((4, 100, 3)).astype(np.float32)
+    out = augment.rotate_point_cloud_z(pts, rng=np.random.default_rng(0))
+    np.testing.assert_allclose(out[..., 2], pts[..., 2], atol=1e-5)
+    np.testing.assert_allclose((out[..., :2] ** 2).sum(-1),
+                               (pts[..., :2] ** 2).sum(-1), rtol=1e-4)
+
+
+def test_jnp_host_rotation_agree():
+    import jax
+    import jax.numpy as jnp
+
+    pts = np.random.default_rng(0).random((2, 64, 3)).astype(np.float32)
+    out = augment.jrotate_z(jax.random.PRNGKey(0), jnp.array(pts))
+    np.testing.assert_allclose(np.asarray(out)[..., 2], pts[..., 2], atol=1e-6)
+    np.testing.assert_allclose(np.asarray((out[..., :2] ** 2).sum(-1)),
+                               (pts[..., :2] ** 2).sum(-1), rtol=1e-4)
+
+
+def test_jitter_scale_shift_shapes(rng):
+    pts = rng.random((2, 64, 3)).astype(np.float32)
+    g = np.random.default_rng(0)
+    assert augment.jitter_point_cloud(pts, rng=g).shape == pts.shape
+    assert augment.shift_point_cloud(pts.copy(), rng=g).shape == pts.shape
+    assert augment.random_scale_point_cloud(pts.copy(), rng=g).shape == pts.shape
+    assert augment.random_point_dropout(pts.copy(), rng=g).shape == pts.shape
+    d, l, idx = augment.shuffle_data(pts, np.arange(2), rng=g)
+    assert d.shape == pts.shape
+    nd = augment.normalize_data(pts)
+    assert np.sqrt((nd ** 2).sum(-1)).max() <= 1.0 + 1e-5
