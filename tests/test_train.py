@@ -1,0 +1,182 @@
+"""Train engine tests: schedules, torch-Adam equivalence, loss descent,
+fit() end-to-end smoke, and mesh-sharded training on 8 virtual devices."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from tumseg import models
+from tumseg.train import (TrainEngine, bn_momentum_schedule, fit,
+                          lr_schedule, make_optimizer)
+from tumseg.train import checkpoint as ckpt
+from tumseg.train import metrics as M
+
+
+def test_schedules_match_reference_formulas():
+    # reference localfunctions.py:168-194 with defaults lr=1e-3, decay=0.7, step=10
+    assert lr_schedule(0, 1e-3, 0.7, 10) == pytest.approx(1e-3)
+    assert lr_schedule(9, 1e-3, 0.7, 10) == pytest.approx(1e-3)
+    assert lr_schedule(10, 1e-3, 0.7, 10) == pytest.approx(7e-4)
+    assert lr_schedule(25, 1e-3, 0.7, 10) == pytest.approx(1e-3 * 0.7 ** 2)
+    assert lr_schedule(1000, 1e-3, 0.7, 10) == pytest.approx(1e-5)  # clip
+    assert bn_momentum_schedule(0, 10) == pytest.approx(0.1)
+    assert bn_momentum_schedule(10, 10) == pytest.approx(0.05)
+    assert bn_momentum_schedule(100, 10) == pytest.approx(0.01)  # floor
+
+
+def test_adam_matches_torch():
+    torch = pytest.importorskip("torch")
+    r = np.random.default_rng(0)
+    w0 = r.random((5, 3)).astype(np.float32)
+    grads = [r.random((5, 3)).astype(np.float32) for _ in range(4)]
+    lr, wd = 1e-2, 1e-4
+
+    tw = torch.nn.Parameter(torch.from_numpy(w0.copy()))
+    topt = torch.optim.Adam([tw], lr=lr, betas=(0.9, 0.999), eps=1e-8,
+                            weight_decay=wd)
+    for g in grads:
+        tw.grad = torch.from_numpy(g.copy())
+        topt.step()
+
+    tx = make_optimizer("Adam", weight_decay=wd)
+    params = {"w": jnp.asarray(w0)}
+    state = tx.init(params)
+    for g in grads:
+        updates, state = tx.update({"w": jnp.asarray(g)}, state, params)
+        params = jax.tree_util.tree_map(lambda p, u: p + lr * u, params, updates)
+    np.testing.assert_allclose(np.asarray(params["w"]), tw.detach().numpy(),
+                               atol=1e-6)
+
+
+def test_sgd_matches_torch():
+    torch = pytest.importorskip("torch")
+    r = np.random.default_rng(1)
+    w0 = r.random((4,)).astype(np.float32)
+    grads = [r.random((4,)).astype(np.float32) for _ in range(3)]
+    lr = 0.1
+
+    tw = torch.nn.Parameter(torch.from_numpy(w0.copy()))
+    topt = torch.optim.SGD([tw], lr=lr, momentum=0.9)
+    for g in grads:
+        tw.grad = torch.from_numpy(g.copy())
+        topt.step()
+
+    tx = make_optimizer("SGD")
+    params = {"w": jnp.asarray(w0)}
+    state = tx.init(params)
+    for g in grads:
+        updates, state = tx.update({"w": jnp.asarray(g)}, state, params)
+        params = jax.tree_util.tree_map(lambda p, u: p + lr * u, params, updates)
+    np.testing.assert_allclose(np.asarray(params["w"]), tw.detach().numpy(),
+                               atol=1e-6)
+
+
+def _toy_batch(rng, B=4, N=128, C=6, num_classes=4):
+    pts = rng.random((B, N, C)).astype(np.float32)
+    # learnable signal: class = quadrant of (x, y)
+    target = (pts[..., 0] > 0.5).astype(np.int32) * 2 + (pts[..., 1] > 0.5)
+    return pts, target
+
+
+def test_train_engine_loss_decreases(rng):
+    model = models.get_module("pointnet_sem_seg")
+    engine = TrainEngine(model, num_classes=4, train_weights=np.ones(4),
+                         augment_rotate=False, seed=0)
+    engine.init_state(jax.random.PRNGKey(0), num_extra_features=0)
+    pts, target = _toy_batch(rng)
+    losses = [float(engine.train_batch(pts, target, 1e-3, 0.1)[0])
+              for _ in range(12)]
+    assert losses[-1] < losses[0]
+
+
+def test_eval_batch_tallies(rng):
+    model = models.get_module("pointnet_sem_seg")
+    engine = TrainEngine(model, num_classes=4, train_weights=np.ones(4))
+    engine.init_state(jax.random.PRNGKey(0), num_extra_features=0)
+    pts, target = _toy_batch(rng)
+    loss, tallies = engine.eval_batch(pts, target)
+    assert np.isfinite(float(loss))
+    seen = np.asarray(tallies["seen"])
+    assert seen.sum() == pts.shape[0] * pts.shape[1]
+    assert np.asarray(tallies["correct"]).sum() <= seen.sum()
+
+
+def test_metrics_iou_oracle():
+    pred = jnp.array([0, 0, 1, 1, 2, 2])
+    gt = jnp.array([0, 1, 1, 1, 2, 0])
+    t = M.confusion_tallies(pred, gt, 3)
+    iou = M.iou_from_tallies(t)
+    # class0: correct 1, union |pred0 ∪ gt0| = 2+2-1 = 3
+    np.testing.assert_allclose(iou[0], 1 / 3, atol=1e-5)
+    # class1: correct 2, union 2+3-2 = 3
+    np.testing.assert_allclose(iou[1], 2 / 3, atol=1e-5)
+    # class2: correct 2, union 2+1... pred2=2, gt2=1, correct=1 -> 1/2
+    np.testing.assert_allclose(iou[2], 1 / 2, atol=1e-5)
+
+
+def test_checkpoint_roundtrip(tmp_path, rng):
+    model = models.get_module("pointnet_sem_seg")
+    engine = TrainEngine(model, num_classes=4, train_weights=np.ones(4))
+    engine.init_state(jax.random.PRNGKey(0), num_extra_features=0)
+    path = str(tmp_path / "model.pth")
+    ckpt.save_checkpoint(path, epoch=7, variables=engine.variables(),
+                         opt_state=engine.opt_state, class_avg_iou=0.5)
+    state = ckpt.load_checkpoint(path)
+    assert state["epoch"] == 7 and state["class_avg_iou"] == 0.5
+    engine2 = TrainEngine(model, num_classes=4, train_weights=np.ones(4))
+    epoch = engine2.load_state(state)
+    assert epoch == 7
+    for a, b in zip(jax.tree_util.tree_leaves(engine.params),
+                    jax.tree_util.tree_leaves(engine2.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+class _ToyLoader:
+    def __init__(self, rng, n_batches=3, **kw):
+        self.batches = [_toy_batch(rng, **kw) for _ in range(n_batches)]
+
+    def __len__(self):
+        return len(self.batches)
+
+    def __iter__(self):
+        return iter(self.batches)
+
+
+def test_fit_end_to_end(tmp_path, rng):
+    model = models.get_module("pointnet_sem_seg")
+    engine = TrainEngine(model, num_classes=4, train_weights=np.ones(4),
+                         augment_rotate=True, seed=0)
+    engine.init_state(jax.random.PRNGKey(0), num_extra_features=0)
+    loader = _ToyLoader(rng)
+    logs = []
+    acc, ml, iou = fit(
+        engine, loader, loader, start_epoch=0, end_epoch=2,
+        learning_rate=1e-3, lr_decay=0.7, step_size=10, batch_size=4,
+        num_point=128, checkpoints_dir=str(tmp_path),
+        model_name="/best_model.pth",
+        seg_label_to_cat={i: f"c{i}" for i in range(4)},
+        log_string=logs.append)
+    assert len(acc) == len(ml) == len(iou) == 2
+    assert (tmp_path / "model.pth").exists()      # epoch-0 periodic save
+    assert (tmp_path / "best_model.pth").exists()  # best-mIoU save
+    state = ckpt.load_checkpoint(str(tmp_path / "best_model.pth"))
+    assert "class_avg_iou" in state
+    assert any("IoU" in str(s) for s in logs)
+
+
+def test_train_engine_on_mesh(rng):
+    from tumseg.parallel import make_mesh
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    mesh = make_mesh(8)
+    model = models.get_module("pointnet_sem_seg")
+    engine = TrainEngine(model, num_classes=4, train_weights=np.ones(4),
+                         mesh=mesh, augment_rotate=True, seed=0)
+    engine.init_state(jax.random.PRNGKey(0), num_extra_features=0)
+    pts, target = _toy_batch(rng, B=8)
+    loss, correct = engine.train_batch(pts, target, 1e-3, 0.1)
+    assert np.isfinite(float(loss))
+    loss2, _ = engine.train_batch(pts, target, 1e-3, 0.1)
+    assert np.isfinite(float(loss2))

@@ -1,0 +1,259 @@
+"""Jit-compiled train/eval engine.
+
+Behavior parity with the reference's modelTraining
+(/root/reference/localfunctions.py:159-334):
+- LR schedule  lr = max(base * decay^(epoch//step), 1e-5)        (:168,:187)
+- BN momentum  m  = max(0.1 * 0.5^(epoch//step), 0.01)           (:169-194)
+- torch-Adam semantics (weight decay added to the gradient before the
+  moment update, betas (0.9, 0.999), eps 1e-8) or SGD(momentum=0.9)
+  (/root/reference/sem_seg_training.py:576-584)
+- per-epoch eval with per-class IoU / mIoU, checkpoint every 5 epochs and
+  on best mIoU, accuracy/loss/IoU charts returned per epoch.
+
+TPU-native differences: one fully-fused jit step (augmentation, forward,
+loss, backward, optimizer) with the LR and BN momentum as *traced* scalars
+so schedules never recompile; z-rotation augmentation runs on device keyed
+by PRNG (the reference does it per-batch in NumPy, localfunctions.py:206);
+batch sharded over the mesh's data axis with XLA inserting gradient/BN
+psums over ICI.
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from tumseg.data import augment
+from tumseg.parallel import mesh as pmesh
+from tumseg.train import checkpoint as ckpt
+from tumseg.train import metrics as M
+
+LEARNING_RATE_CLIP = 1e-5
+MOMENTUM_ORIGINAL = 0.1
+MOMENTUM_DECCAY = 0.5
+MOMENTUM_FLOOR = 0.01
+
+
+def lr_schedule(epoch: int, base_lr: float, lr_decay: float,
+                step_size: int) -> float:
+    return max(base_lr * (lr_decay ** (epoch // step_size)), LEARNING_RATE_CLIP)
+
+
+def bn_momentum_schedule(epoch: int, step_size: int) -> float:
+    m = MOMENTUM_ORIGINAL * (MOMENTUM_DECCAY ** (epoch // step_size))
+    return max(m, MOMENTUM_FLOOR)
+
+
+def make_optimizer(name: str = "Adam", weight_decay: float = 1e-4):
+    """Gradient transform matching the reference's optimizers; the learning
+    rate is applied inside the step as a traced scalar."""
+    if name == "Adam":
+        return optax.chain(
+            optax.add_decayed_weights(weight_decay),
+            optax.scale_by_adam(b1=0.9, b2=0.999, eps=1e-8),
+            optax.scale(-1.0),
+        )
+    return optax.chain(optax.trace(decay=0.9), optax.scale(-1.0))
+
+
+class TrainEngine:
+    """Holds the jitted train/eval steps and the mutable training state."""
+
+    def __init__(self, model, num_classes: int, train_weights: np.ndarray,
+                 optimizer: str = "Adam", weight_decay: float = 1e-4,
+                 mesh=None, augment_rotate: bool = True,
+                 compute_dtype=None, seed: int = 0):
+        self.model = model
+        self.num_classes = num_classes
+        self.mesh = mesh
+        self.augment_rotate = augment_rotate
+        self.tx = make_optimizer(optimizer, weight_decay)
+        self.weights = jnp.asarray(train_weights, dtype=jnp.float32)
+        self.base_key = jax.random.PRNGKey(seed)
+        self._batch_sharding = (pmesh.batch_sharding(mesh)
+                                if mesh is not None else None)
+        self._step_count = 0
+
+        def train_step(params, batch_stats, opt_state, points, target, lr,
+                       momentum, key):
+            krot, kdrop, kfps = jax.random.split(key, 3)
+            if self.augment_rotate:
+                rotated = augment.jrotate_z(krot, points[..., :3])
+                points = jnp.concatenate([rotated, points[..., 3:]], axis=-1)
+
+            def loss_fn(p):
+                logp, aux, new_stats = model.apply(
+                    {"params": p, "batch_stats": batch_stats}, points,
+                    training=True, bn_momentum=momentum,
+                    rngs={"dropout": kdrop, "fps": kfps},
+                    compute_dtype=compute_dtype)
+                loss = model.loss(logp, target, aux, self.weights)
+                return loss, (new_stats, logp)
+
+            (loss, (new_stats, logp)), grads = jax.value_and_grad(
+                loss_fn, has_aux=True)(params)
+            updates, new_opt_state = self.tx.update(grads, opt_state, params)
+            updates = jax.tree_util.tree_map(lambda u: u * lr, updates)
+            new_params = optax.apply_updates(params, updates)
+            pred = jnp.argmax(logp, axis=-1)
+            correct = jnp.sum((pred == target).astype(jnp.int32))
+            return new_params, new_stats, new_opt_state, loss, correct
+
+        def eval_step(params, batch_stats, points, target):
+            logp, aux, _ = model.apply(
+                {"params": params, "batch_stats": batch_stats}, points,
+                training=False, compute_dtype=compute_dtype)
+            loss = model.loss(logp, target, aux, self.weights)
+            pred = jnp.argmax(logp, axis=-1)
+            tallies = M.confusion_tallies(pred, target, num_classes)
+            return loss, tallies
+
+        self._train_step = jax.jit(train_step, donate_argnums=(0, 1, 2))
+        self._eval_step = jax.jit(eval_step)
+
+    # -- state management ---------------------------------------------------
+
+    def init_state(self, key, num_extra_features: int):
+        variables = self.model.init(key, self.num_classes, num_extra_features)
+        opt_state = self.tx.init(variables["params"])
+        self.params = variables["params"]
+        self.batch_stats = variables["batch_stats"]
+        self.opt_state = opt_state
+        if self.mesh is not None:
+            rep = pmesh.replicated_sharding(self.mesh)
+            put = lambda t: jax.tree_util.tree_map(
+                lambda x: jax.device_put(x, rep), t)
+            self.params = put(self.params)
+            self.batch_stats = put(self.batch_stats)
+            self.opt_state = put(self.opt_state)
+
+    def load_state(self, state: Dict):
+        variables, opt_state, epoch = ckpt.restore_variables(state)
+        self.params = variables["params"]
+        self.batch_stats = variables["batch_stats"]
+        self.opt_state = (opt_state if opt_state is not None
+                          else self.tx.init(self.params))
+        return epoch
+
+    def variables(self) -> Dict:
+        return {"params": self.params, "batch_stats": self.batch_stats}
+
+    # -- steps --------------------------------------------------------------
+
+    def _put_batch(self, points, target):
+        points = jnp.asarray(points, dtype=jnp.float32)
+        target = jnp.asarray(target, dtype=jnp.int32)
+        if self._batch_sharding is not None:
+            points = jax.device_put(points, self._batch_sharding)
+            target = jax.device_put(target, self._batch_sharding)
+        return points, target
+
+    def train_batch(self, points, target, lr: float, momentum: float):
+        points, target = self._put_batch(points, target)
+        key = jax.random.fold_in(self.base_key, self._step_count)
+        self._step_count += 1
+        (self.params, self.batch_stats, self.opt_state, loss,
+         correct) = self._train_step(
+            self.params, self.batch_stats, self.opt_state, points, target,
+            jnp.float32(lr), jnp.float32(momentum), key)
+        return loss, correct
+
+    def eval_batch(self, points, target):
+        points, target = self._put_batch(points, target)
+        return self._eval_step(self.params, self.batch_stats, points, target)
+
+
+def fit(engine: TrainEngine, train_loader, eval_loader, *, start_epoch: int,
+        end_epoch: int, learning_rate: float, lr_decay: float, step_size: int,
+        batch_size: int, num_point: int, checkpoints_dir, model_name: str,
+        seg_label_to_cat: Dict, log_string=print):
+    """Epoch loop mirroring modelTraining (localfunctions.py:159-334).
+    Returns (accuracyChart, MLChart, IoUChart)."""
+    num_classes = engine.num_classes
+    accuracy_chart, ml_chart, iou_chart = [], [], []
+    best_iou = 0.0
+    global_epoch = 0
+
+    for epoch in range(start_epoch, end_epoch):
+        log_string("**** Epoch %d (%d/%s) ****"
+                   % (global_epoch + 1, epoch + 1, end_epoch))
+        lr = lr_schedule(epoch, learning_rate, lr_decay, step_size)
+        log_string("Learning rate:%f" % lr)
+        momentum = bn_momentum_schedule(epoch, step_size)
+        print("BN momentum updated to: %f" % momentum)
+
+        num_batches = len(train_loader)
+        total_correct = 0
+        total_seen = 0
+        loss_sum = 0.0
+        t0 = time.time()
+        for points, target in train_loader:
+            loss, correct = engine.train_batch(points, target, lr, momentum)
+            loss_sum += float(loss)
+            total_correct += int(correct)
+            total_seen += batch_size * num_point
+        train_time = time.time() - t0
+        if num_batches:
+            log_string("Training mean loss: %f" % (loss_sum / num_batches))
+            log_string("Training accuracy: %f" % (total_correct / float(total_seen)))
+            log_string("Training points/sec: %.0f"
+                       % (total_seen / max(train_time, 1e-9)))
+
+        if epoch % 5 == 0:
+            savepath = str(checkpoints_dir) + "/model.pth"
+            log_string("Saving at %s" % savepath)
+            ckpt.save_checkpoint(savepath, epoch=epoch,
+                                 variables=engine.variables(),
+                                 opt_state=engine.opt_state)
+
+        # ---- eval ----
+        log_string("---- EPOCH %03d EVALUATION ----" % (global_epoch + 1))
+        eval_batches = len(eval_loader)
+        tallies = M.zero_tallies(num_classes)
+        eval_loss_sum = 0.0
+        eval_seen = 0
+        for points, target in eval_loader:
+            loss, t = engine.eval_batch(points, target)
+            eval_loss_sum += float(loss)
+            tallies = M.accumulate(tallies, t)
+            eval_seen += batch_size * num_point
+
+        if eval_batches:
+            iou = M.iou_from_tallies(tallies)
+            miou = float(np.mean(iou))
+            eval_acc = M.accuracy_from_tallies(tallies, eval_seen)
+            log_string("eval mean loss: %f" % (eval_loss_sum / eval_batches))
+            log_string("eval point avg class IoU: %f" % miou)
+            log_string("eval point accuracy: %f" % eval_acc)
+            log_string("eval point avg class acc: %f"
+                       % M.class_avg_accuracy(tallies))
+
+            labelweights = tallies["seen"] / max(tallies["seen"].sum(), 1)
+            iou_str = "------- IoU --------\n"
+            for l in range(num_classes):
+                iou_str += "class %s weight: %.3f, IoU: %.3f \n" % (
+                    seg_label_to_cat[l] + " " * (14 - len(seg_label_to_cat[l])),
+                    labelweights[l], iou[l])
+            log_string(iou_str)
+
+            if miou >= best_iou:
+                best_iou = miou
+                savepath = str(checkpoints_dir) + model_name
+                log_string("Saving at %s" % savepath)
+                ckpt.save_checkpoint(savepath, epoch=epoch,
+                                     variables=engine.variables(),
+                                     opt_state=engine.opt_state,
+                                     class_avg_iou=miou)
+            log_string("Best mIoU: %f" % best_iou)
+
+            accuracy_chart.append(eval_acc)
+            ml_chart.append(eval_loss_sum / eval_batches)
+            iou_chart.append(best_iou)
+        global_epoch += 1
+
+    return accuracy_chart, ml_chart, iou_chart
