@@ -1,0 +1,110 @@
+"""Voting inference tests: vote pooling semantics, whole-scene coverage,
+and the run_testing report, on synthetic tiles with a real (untrained) model."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from tumseg import models
+from tumseg.data.dataset import TestGridDataset
+from tumseg.data.las import write_las
+from tumseg.infer.voting import InferenceRunner, _scatter_votes, run_testing
+from tumseg.viz.writers import read_labels_txt
+
+
+@pytest.fixture
+def scene(tmp_path):
+    r = np.random.default_rng(0)
+    n = 9000
+    xyz = np.stack([r.uniform(0, 4, n), r.uniform(0, 2, n),
+                    r.uniform(0, 6, n)], 1)
+    labels = r.choice([1, 2, 3, 7], n)
+    p = str(tmp_path / "scene.las")
+    write_las(p, xyz, labels)
+    return p
+
+
+def test_scatter_votes_matches_loop_oracle():
+    r = np.random.default_rng(1)
+    n_scene, C, B, N = 50, 4, 3, 16
+    idx = r.integers(0, n_scene, (B, N)).astype(np.int32)
+    pred = r.integers(0, C, (B, N)).astype(np.int32)
+    keep = r.random((B, N)) > 0.3
+
+    pool = np.zeros((n_scene, C), dtype=np.float32)
+    for b in range(B):
+        for n in range(N):
+            if keep[b, n]:
+                pool[idx[b, n], pred[b, n]] += 1
+
+    got = _scatter_votes(jnp.zeros((n_scene, C), jnp.float32),
+                         jnp.asarray(idx), jnp.asarray(pred), jnp.asarray(keep))
+    np.testing.assert_array_equal(np.asarray(got), pool)
+
+
+@pytest.fixture
+def runner_and_ds(scene):
+    ds = TestGridDataset(las_file_list=[scene], num_classes=8,
+                         block_points=512, class8=True, color=False, seed=0)
+    model = models.get_module("pointnet_sem_seg")
+    var = model.init(jax.random.PRNGKey(0), 8, 0)
+    runner = InferenceRunner(model, var, num_classes=8, batch_size=4)
+    return runner, ds
+
+
+def test_predict_blocks_pads_and_trims(runner_and_ds):
+    runner, ds = runner_and_ds
+    data, _, _, _ = ds[0]
+    preds = runner.predict_blocks(data)
+    assert preds.shape == data.shape[:2]
+    assert preds.min() >= 0 and preds.max() < 8
+
+
+def test_infer_scene_covers_every_point(runner_and_ds):
+    runner, ds = runner_and_ds
+    labels = runner.infer_scene(ds, 0, num_votes=2)
+    n_scene = ds.semantic_labels_list[0].shape[0]
+    assert labels.shape == (n_scene,)
+    assert labels.min() >= 0 and labels.max() < 8
+
+
+def test_infer_scene_deterministic_model_votes_agree(runner_and_ds):
+    # with 1 vote vs 3 votes the argmax should mostly agree for a fixed model
+    runner, ds = runner_and_ds
+    a = runner.infer_scene(ds, 0, num_votes=1)
+    b = runner.infer_scene(ds, 0, num_votes=3)
+    assert (a == b).mean() > 0.5  # untrained model, stochastic blocks
+
+
+def test_run_testing_report(tmp_path, runner_and_ds):
+    from tumseg.utils.labels import LABEL2COLOR_8, seg_label_to_cat
+
+    runner, ds = runner_and_ds
+    logs = []
+    out = run_testing(ds, runner, num_votes=1, visual_dir=str(tmp_path),
+                      visual=True, seg_label_to_cat=seg_label_to_cat(True),
+                      label2color=LABEL2COLOR_8, log_string=logs.append)
+    assert 0.0 <= out["miou"] <= 1.0
+    assert len(out["per_scene_miou"]) == 1
+    txt = read_labels_txt(str(tmp_path / "scene.txt"))
+    assert txt.shape[0] == ds.semantic_labels_list[0].shape[0]
+    pred_obj = (tmp_path / "scene_pred.obj").read_text().splitlines()
+    assert pred_obj[0].startswith("v ") and len(pred_obj[0].split()) == 7
+    assert (tmp_path / "scene_gt.obj").exists()
+    assert any("EVALUATION WHOLE SCENE" in str(s) for s in logs)
+
+
+def test_runner_on_mesh(scene):
+    from tumseg.parallel import make_mesh
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    ds = TestGridDataset(las_file_list=[scene], num_classes=8,
+                         block_points=512, class8=True, color=False, seed=0)
+    model = models.get_module("pointnet_sem_seg")
+    var = model.init(jax.random.PRNGKey(0), 8, 0)
+    mesh = make_mesh(8)
+    runner = InferenceRunner(model, var, num_classes=8, batch_size=8, mesh=mesh)
+    labels = runner.infer_scene(ds, 0, num_votes=1)
+    assert labels.shape == ds.semantic_labels_list[0].shape

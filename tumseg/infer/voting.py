@@ -1,0 +1,172 @@
+"""Whole-scene voting inference, TPU-native.
+
+Behavior parity with modelTesting + add_vote
+(/root/reference/localfunctions.py:339-479): for each scene, ``num_votes``
+stochastic re-blockings are run through the model and each point's class
+votes are pooled; the final label is the argmax of the pool; per-class IoU
+is tallied against the whole-scene ground truth and .txt/.obj artifacts are
+written.
+
+TPU-native differences:
+- all blocks of a vote are forwarded as one padded [B, N, C] batch per
+  device step (optionally sharded over the mesh's data axis), instead of a
+  Python loop re-using stale batch buffers;
+- vote accumulation is a device scatter-add into the [N_scene, C] pool
+  (one fused XLA op), replacing the reference's pure-Python double loop over
+  B x N points (localfunctions.py:339-346, the host-side hot spot);
+- only real (non-padding) blocks vote, reproducing the *effect* of the
+  reference's ``0:real_batch_size`` slice (SURVEY §5.1.6);
+- the reference gates votes on ``weight != 0 and not isinf(weight)`` where
+  weight = labelweights[ground-truth label] (sem_seg_testing.py:224) — a
+  no-op in practice but a GT leak in principle. We replicate it behind
+  ``gt_weight_gate=True`` (default, for bit-parity) and allow disabling.
+"""
+
+from __future__ import annotations
+
+import os
+from functools import partial
+from typing import Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from tumseg.parallel import mesh as pmesh
+from tumseg.train import metrics as M
+from tumseg.viz.writers import write_labels_txt, write_obj_pointcloud
+
+
+@partial(jax.jit, donate_argnums=(0,))
+def _scatter_votes(pool: jnp.ndarray, point_idx: jnp.ndarray,
+                   pred: jnp.ndarray, keep: jnp.ndarray) -> jnp.ndarray:
+    """pool [N_scene, C] += one_hot(pred) at point_idx where keep."""
+    flat_idx = point_idx.reshape(-1)
+    flat_pred = pred.reshape(-1)
+    flat_keep = keep.reshape(-1).astype(pool.dtype)
+    return pool.at[flat_idx, flat_pred].add(flat_keep)
+
+
+class InferenceRunner:
+    """Batched, optionally mesh-sharded forward + device vote pooling."""
+
+    def __init__(self, model, variables: Dict, num_classes: int,
+                 batch_size: int = 32, mesh=None, compute_dtype=None):
+        self.model = model
+        self.variables = variables
+        self.num_classes = num_classes
+        self.batch_size = batch_size
+        self.mesh = mesh
+        self._sharding = pmesh.batch_sharding(mesh) if mesh is not None else None
+
+        def forward(variables, points):
+            logp, _, _ = model.apply(variables, points, training=False,
+                                     compute_dtype=compute_dtype)
+            return jnp.argmax(logp, axis=-1).astype(jnp.int32)
+
+        self._forward = jax.jit(forward)
+
+    def predict_blocks(self, scene_data: np.ndarray) -> np.ndarray:
+        """scene_data [num_blocks, N, C] -> predicted labels [num_blocks, N].
+        Pads the block axis up to a batch multiple; padded rows are dropped."""
+        num_blocks = scene_data.shape[0]
+        preds = []
+        bs = self.batch_size
+        for s in range(0, num_blocks, bs):
+            chunk = scene_data[s:s + bs]
+            real = chunk.shape[0]
+            if real < bs:
+                chunk, _ = pmesh.pad_to_multiple(chunk, bs)
+            x = jnp.asarray(chunk, dtype=jnp.float32)
+            if self._sharding is not None:
+                x = jax.device_put(x, self._sharding)
+            p = self._forward(self.variables, x)
+            preds.append(np.asarray(p[:real]))
+        return np.concatenate(preds, axis=0)
+
+    def infer_scene(self, dataset, scene_idx: int, num_votes: int = 5,
+                    gt_weight_gate: bool = True,
+                    log=print) -> np.ndarray:
+        """Run ``num_votes`` re-blocked passes and return per-point labels
+        for the whole scene [N_scene]."""
+        n_scene = dataset.semantic_labels_list[scene_idx].shape[0]
+        pool = jnp.zeros((n_scene, self.num_classes), dtype=jnp.float32)
+        for _ in range(num_votes):
+            scene_data, scene_label, scene_smpw, scene_index = dataset[scene_idx]
+            pred = self.predict_blocks(scene_data)
+            if gt_weight_gate:
+                keep = (scene_smpw != 0) & ~np.isinf(scene_smpw)
+            else:
+                keep = np.ones_like(scene_smpw, dtype=bool)
+            pool = _scatter_votes(pool, jnp.asarray(scene_index.astype(np.int32)),
+                                  jnp.asarray(pred), jnp.asarray(keep))
+        return np.asarray(jnp.argmax(pool, axis=1))
+
+
+def run_testing(dataset, runner: InferenceRunner, *, num_votes: int,
+                visual_dir=None, visual: bool = False,
+                seg_label_to_cat: Dict = None, label2color: Dict = None,
+                result_color: bool = True, log_string=print):
+    """Loop over scenes: voting inference, per-scene + aggregate IoU report,
+    .txt label dumps and optional colored .obj files — the modelTesting
+    surface (localfunctions.py:349-479)."""
+    num_classes = runner.num_classes
+    scene_ids = [os.path.basename(str(f))[:-4] for f in dataset.file_list]
+    totals = M.zero_tallies(num_classes)
+    per_scene_miou = []
+
+    log_string("---- EVALUATION WHOLE SCENE----")
+    for batch_idx in range(len(dataset)):
+        print("Inference [%d/%d] %s ..." % (batch_idx + 1, len(dataset),
+                                            scene_ids[batch_idx]))
+        whole_scene_label = dataset.semantic_labels_list[batch_idx].astype(int)
+        whole_scene_data = dataset.scene_points_list[batch_idx]
+
+        pred_label = runner.infer_scene(dataset, batch_idx, num_votes)
+
+        t = M.confusion_tallies(jnp.asarray(pred_label),
+                                jnp.asarray(whole_scene_label), num_classes)
+        scene_iou = M.iou_from_tallies(t)
+        totals = M.accumulate(totals, t)
+        seen = np.asarray(t["seen"])
+        tmp_iou = float(np.mean(scene_iou[seen != 0])) if (seen != 0).any() else 0.0
+        print(scene_iou)
+        per_scene_miou.append(tmp_iou)
+        log_string("Mean IoU of %s: %.4f" % (scene_ids[batch_idx], tmp_iou))
+        print("----------------------------")
+
+        if visual_dir is not None:
+            write_labels_txt(os.path.join(str(visual_dir),
+                                          scene_ids[batch_idx] + ".txt"),
+                             pred_label)
+            if visual:
+                kw = (dict(labels=pred_label, label2color=label2color)
+                      if result_color else {})
+                kw_gt = (dict(labels=whole_scene_label, label2color=label2color)
+                         if result_color else {})
+                write_obj_pointcloud(
+                    os.path.join(str(visual_dir),
+                                 scene_ids[batch_idx] + "_pred.obj"),
+                    whole_scene_data, **kw)
+                write_obj_pointcloud(
+                    os.path.join(str(visual_dir),
+                                 scene_ids[batch_idx] + "_gt.obj"),
+                    whole_scene_data, **kw_gt)
+
+    iou = M.iou_from_tallies(totals)
+    iou_str = "------- IoU --------\n"
+    for l in range(num_classes):
+        if (totals["seen"][l] + totals["predicted"][l]) == 0:
+            continue
+        name = seg_label_to_cat[l] if seg_label_to_cat else str(l)
+        iou_str += "class %s, IoU: %.3f \n" % (name + " " * (14 - len(name)),
+                                               iou[l])
+    log_string(iou_str)
+    log_string("eval point avg class IoU: %f" % float(np.mean(iou)))
+    log_string("eval whole scene point avg class acc: %f"
+               % M.class_avg_accuracy(totals))
+    total_seen = int(np.asarray(totals["seen"]).sum())
+    log_string("eval whole scene point accuracy: %f"
+               % (np.asarray(totals["correct"]).sum() / float(total_seen + 1e-6)))
+    return {"iou": iou, "miou": float(np.mean(iou)),
+            "per_scene_miou": per_scene_miou, "tallies": totals}
