@@ -1,0 +1,84 @@
+"""End-to-end CLI smoke: 1-epoch train + voting test on synthetic LAS tiles,
+exercising the full reference workflow surface (train -> checkpoint -> test
+-> IoU report + artifacts)."""
+
+import glob
+import os
+
+import numpy as np
+import pytest
+
+from tumseg.data.las import write_las
+
+
+@pytest.fixture
+def workspace(tmp_path):
+    data_dir = tmp_path / "data"
+    data_dir.mkdir()
+    r = np.random.default_rng(0)
+    for name in ["buildingA.las", "buildingB.las", "test_tile.las"]:
+        n = 12000
+        xyz = np.stack([r.uniform(0, 4, n), r.uniform(0, 2, n),
+                        r.uniform(0, 5, n)], 1)
+        labels = r.choice([1, 2, 3, 7], n)
+        rgb = r.integers(0, 256, (n, 3)).astype(np.uint16)
+        write_las(str(data_dir / name), xyz, labels, rgb=rgb)
+    return tmp_path
+
+
+def test_train_then_test_cli(workspace, monkeypatch):
+    from tumseg.cli import test as test_cli
+    from tumseg.cli import train as train_cli
+
+    monkeypatch.chdir(workspace)
+    common = [
+        "--rootdir", str(workspace / "data"),
+        "--test_area", "test_tile.las",
+        "--model", "pointnet_sem_seg",
+        "--class8",
+        "--exp_dir", str(workspace / "log"),
+        "--log_dir", "run1",
+        "--seed", "0",
+    ]
+    targs = train_cli.parse_args(common + [
+        "--epoch", "1", "--batch_size", "4", "--npoint", "128"])
+    acc, ml, iou = train_cli.main(targs)
+    assert len(acc) == 1 and np.isfinite(ml[0])
+
+    ckpt_path = workspace / "log" / "sem_seg" / "run1" / "checkpoints" / "best_model.pth"
+    assert ckpt_path.exists()
+
+    eargs = test_cli.parse_args(common + [
+        "--exp_dir", str(workspace / "log") + "/sem_seg/",
+        "--batch_size", "4", "--num_point", "128", "--num_votes", "2",
+        "--visual"])
+    out = test_cli.main(eargs)
+    assert 0.0 <= out["miou"] <= 1.0
+
+    visual = workspace / "log" / "sem_seg" / "run1" / "visual"
+    assert (visual / "test_tile.txt").exists()
+    assert (visual / "test_tile_pred.obj").exists()
+    # eval log written
+    assert (workspace / "log" / "sem_seg" / "run1" / "eval.txt").exists()
+
+
+def test_train_resume(workspace, monkeypatch):
+    """Second invocation warm-starts from the saved best checkpoint."""
+    from tumseg.cli import train as train_cli
+
+    monkeypatch.chdir(workspace)
+    common = [
+        "--rootdir", str(workspace / "data"),
+        "--test_area", "test_tile.las",
+        "--model", "pointnet_sem_seg",
+        "--class8",
+        "--exp_dir", str(workspace / "log"),
+        "--log_dir", "resume_run",
+        "--seed", "0",
+        "--epoch", "1", "--batch_size", "4", "--npoint", "128",
+    ]
+    train_cli.main(train_cli.parse_args(common))
+    # resume: start_epoch comes from the checkpoint (0 < epoch arg 2)
+    args2 = train_cli.parse_args([a if a != "1" else "2" for a in common])
+    acc, _, _ = train_cli.main(args2)
+    assert len(acc) >= 1
