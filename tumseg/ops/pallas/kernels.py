@@ -1,12 +1,10 @@
-"""Pallas TPU kernels for the hot point-cloud ops (filled in incrementally;
-ops not yet ported raise NotImplementedError so the dispatcher falls back to
-the XLA compositions in tumseg.ops.core)."""
+"""Pallas TPU kernels for the hot point-cloud ops. Ops not yet ported raise
+NotImplementedError so the dispatcher (tumseg.ops) falls back to the XLA
+compositions in tumseg.ops.core."""
 
 from __future__ import annotations
 
-
-def farthest_point_sample(xyz, npoint, start=None):
-    raise NotImplementedError
+from tumseg.ops.pallas.fps import farthest_point_sample  # noqa: F401
 
 
 def query_ball_point(radius, nsample, xyz, new_xyz):
