@@ -1,0 +1,119 @@
+"""Tests for aux utilities: timing, profiling, class weights, crop, s3dis."""
+
+import numpy as np
+import pytest
+
+from tumseg.data import augment, s3dis
+from tumseg.utils.labels import compute_class_weights
+from tumseg.utils.profiling import StepTimer, annotate
+from tumseg.utils.timing import current_time, time_print
+
+
+def test_time_helpers():
+    import time as _t
+
+    msg = time_print(_t.time() - 3661)
+    assert msg.startswith("Time taken = 1:1:")
+    assert len(current_time().split(":")) == 3
+
+
+def test_step_timer():
+    t = StepTimer(points_per_step=1000)
+    with t.step():
+        pass
+    assert len(t.durations) == 1
+    assert t.points_per_sec > 0
+    assert "points/sec" in t.report()
+
+
+def test_annotate_context():
+    with annotate("test-span"):
+        pass
+
+
+def test_compute_class_weights():
+    ds = [(None, np.array([0, 0, 0, 1]))]  # class0: 3, class1: 1
+    w = compute_class_weights(ds)
+    # n_points / (n_classes * count): 4/(2*3), 4/(2*1)
+    np.testing.assert_allclose(w, [4 / 6, 2.0], rtol=1e-6)
+
+
+def test_random_crop(rng):
+    pts = rng.random((100, 3))
+    out = augment.random_point_cloud_crop(pts, 10, rng=np.random.default_rng(0))
+    assert out.shape == (10, 3)
+    with pytest.raises(AssertionError):
+        augment.random_point_cloud_crop(pts, 200)
+
+
+# ---- s3dis legacy utils ----
+
+def _room(rng, n=3000):
+    data = np.zeros((n, 6))
+    data[:, 0] = rng.uniform(0, 3, n)
+    data[:, 1] = rng.uniform(0, 2, n)
+    data[:, 2] = rng.uniform(0, 2.5, n)
+    data[:, 3:6] = rng.integers(0, 256, (n, 3))
+    label = rng.integers(0, 13, n).astype(np.uint8)
+    return data, label
+
+
+def test_room2blocks(rng):
+    data, label = _room(rng)
+    bd, bl = s3dis.room2blocks(data[:, :6], label, 256, block_size=1.0,
+                               stride=1.0, rng=np.random.default_rng(0))
+    assert bd.shape[1:] == (256, 6) and bl.shape[1:] == (256,)
+    assert bd.shape[0] > 0
+
+
+def test_room2blocks_plus_normalized(rng):
+    data, label = _room(rng)
+    dl = np.concatenate([data, label[:, None]], 1)
+    bd, bl = s3dis.room2blocks_plus_normalized(
+        dl, 128, 1.0, 1.0, rng=np.random.default_rng(0))
+    assert bd.shape[1:] == (128, 9)
+    assert bd[..., 3:6].max() <= 1.0          # RGB scaled
+    assert 0 <= bd[..., 6:9].min() and bd[..., 6:9].max() <= 1.0
+    assert np.abs(bd[..., 0]).max() <= 0.5 + 1e-6  # xy centered per block
+
+
+def test_room2samples(rng):
+    data, label = _room(rng, 1000)
+    sd, sl = s3dis.room2samples(data, label, 256, rng=np.random.default_rng(0))
+    assert sd.shape == (4, 256, 6) and sl.shape == (4, 256, 1)
+
+
+def test_collect_point_label(tmp_path, rng):
+    anno = tmp_path / "Annotations"
+    anno.mkdir()
+    for i, cls in enumerate(["wall_1", "chair_1", "staris_1"]):
+        pts = rng.random((20, 6))
+        np.savetxt(str(anno / f"{cls}.txt"), pts)
+    out = str(tmp_path / "room.npy")
+    dl = s3dis.collect_point_label(str(anno), out, file_format="numpy")
+    assert dl.shape == (60, 7)
+    assert dl[:, :3].min() >= 0  # shifted to origin
+    # unknown 'staris' mapped to clutter (12)
+    assert set(np.unique(dl[:, 6])) <= {s3dis.CLASS2LABEL["wall"],
+                                        s3dis.CLASS2LABEL["chair"], 12}
+    assert np.load(out).shape == (60, 7)
+
+
+def test_point_label_to_obj(tmp_path, rng):
+    dl = np.concatenate([rng.random((30, 6)),
+                         rng.integers(0, 13, (30, 1))], 1)
+    src = str(tmp_path / "room.npy")
+    np.save(src, dl)
+    out = str(tmp_path / "room.obj")
+    s3dis.point_label_to_obj(src, out)
+    assert len(open(out).read().splitlines()) == 30
+
+
+def test_collect_bounding_box(tmp_path, rng):
+    anno = tmp_path / "Annotations"
+    anno.mkdir()
+    np.savetxt(str(anno / "table_1.txt"), rng.random((10, 6)))
+    out = str(tmp_path / "bb.txt")
+    s3dis.collect_bounding_box(str(anno), out)
+    line = open(out).read().split()
+    assert line[0] == "table" and len(line) == 7

@@ -137,6 +137,17 @@ def shuffle_points(batch_data, rng=None):
     return batch_data[:, idx, :]
 
 
+def random_point_cloud_crop(points, num_points, rng=None):
+    """Random subset of exactly num_points rows
+    (reference localfunctions.py:133-139)."""
+    assert points.shape[0] >= num_points, (
+        "Number of points in the point cloud should be greater than or "
+        "equal to num_points.")
+    rng = rng or np.random
+    indices = rng.choice(points.shape[0], num_points, replace=False)
+    return points[indices]
+
+
 def normalize_data(batch_data):
     """Center each cloud and scale to the unit sphere (provider.py:3-19)."""
     centroid = batch_data.mean(axis=1, keepdims=True)

@@ -38,7 +38,8 @@ def _use_pallas() -> bool:
     if _IMPL == "pallas":
         return True
     try:
-        return jax.default_backend() == "tpu"
+        # "axon" is this image's tunneled TPU PJRT platform
+        return jax.default_backend() in ("tpu", "axon")
     except Exception:  # pragma: no cover
         return False
 

@@ -60,7 +60,11 @@ def _fps_kernel(npoint: int, xs_ref, ys_ref, zs_ref, start_ref, out_ref,
         d = (jnp.square(xs - cx) + jnp.square(ys - cy) + jnp.square(zs - cz))
         dist = jnp.minimum(dist_ref[:, :], d)
         dist_ref[:, :] = dist
-        return jnp.argmax(dist, axis=1, keepdims=True).astype(jnp.int32)
+        # first-index argmax via where+min (jnp.argmax hits a Mosaic
+        # legalization bug for sub-128-lane widths)
+        maxv = jnp.max(dist, axis=1, keepdims=True)
+        return jnp.min(jnp.where(dist == maxv, col, N), axis=1,
+                       keepdims=True).astype(jnp.int32)
 
     lax.fori_loop(0, npoint, body, start_ref[:, :])
 

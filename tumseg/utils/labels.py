@@ -99,6 +99,21 @@ def seg_label_to_cat(class8: bool) -> dict:
     return {i: c for i, c in enumerate(classes)}
 
 
+def compute_class_weights(las_dataset) -> np.ndarray:
+    """Inverse-frequency class weights num_points / (n_classes * count),
+    iterating (data, labels) pairs (reference localfunctions.py:142-156)."""
+    from collections import Counter
+
+    class_counts = Counter()
+    for _, labels in las_dataset:
+        class_counts.update(np.asarray(labels).tolist())
+    num_points = sum(class_counts.values())
+    weights = {label: num_points / (len(class_counts) * count)
+               for label, count in class_counts.items()}
+    return np.array([weights[label] for label in sorted(weights)],
+                    dtype=np.float32)
+
+
 def label_weights(histogram: np.ndarray) -> np.ndarray:
     """Inverse-cube-root balanced class weights: (max(w)/w)^(1/3) of the
     normalized label histogram (reference sem_seg_training.py:264-278)."""
