@@ -40,6 +40,64 @@ def test_fps_pallas_default_start():
     np.testing.assert_array_equal(got, want)
 
 
+@pytest.mark.parametrize("B,N,S,K,r", [(2, 128, 64, 8, 0.3),
+                                       (1, 256, 256, 16, 0.2),
+                                       (2, 100, 40, 4, 0.5)])
+def test_ballquery_pallas_matches_xla(B, N, S, K, r):
+    from tumseg.ops.pallas.ballquery import query_ball_point as bq_pallas
+
+    rng = np.random.default_rng(0)
+    xyz = jnp.asarray(rng.random((B, N, 3)), jnp.float32)
+    new_xyz = xyz[:, :S, :]
+    want = np.asarray(xla_ops.query_ball_point(r, K, xyz, new_xyz))
+    got = np.asarray(bq_pallas(r, K, xyz, new_xyz))
+    np.testing.assert_array_equal(got, want)
+
+
+def test_ballquery_pallas_fill_semantics():
+    from tumseg.ops.pallas.ballquery import query_ball_point as bq_pallas
+
+    xyz = jnp.asarray([[[0, 0, 0], [10, 10, 10], [10.05, 10, 10]]],
+                      jnp.float32)
+    got = np.asarray(bq_pallas(0.2, 4, xyz, xyz[:, :1]))
+    np.testing.assert_array_equal(got[0, 0], [0, 0, 0, 0])
+
+
+@pytest.mark.parametrize("B,N,S", [(2, 128, 64), (1, 512, 16), (2, 100, 40)])
+def test_threenn_pallas_matches_xla(B, N, S):
+    from tumseg.ops.pallas.threenn import three_nn as tnn_pallas
+
+    rng = np.random.default_rng(3)
+    xyz1 = jnp.asarray(rng.random((B, N, 3)), jnp.float32)
+    xyz2 = jnp.asarray(rng.random((B, S, 3)), jnp.float32)
+    wd, wi = xla_ops.three_nn(xyz1, xyz2)
+    gd, gi = tnn_pallas(xyz1, xyz2)
+    np.testing.assert_array_equal(np.asarray(gi), np.asarray(wi))
+    np.testing.assert_allclose(np.asarray(gd), np.asarray(wd), atol=1e-5)
+
+
+def test_threenn_pallas_interp_grad():
+    """three_interpolate through the pallas 3-NN must be differentiable in
+    points2 and match the XLA gradient."""
+    from tumseg.ops.pallas.threenn import three_nn as tnn_pallas
+
+    rng = np.random.default_rng(4)
+    xyz1 = jnp.asarray(rng.random((1, 64, 3)), jnp.float32)
+    xyz2 = jnp.asarray(rng.random((1, 16, 3)), jnp.float32)
+    pts2 = jnp.asarray(rng.random((1, 16, 8)), jnp.float32)
+
+    def f_pallas(p):
+        d, i = tnn_pallas(xyz1, xyz2)
+        return jnp.sum(xla_ops.interpolate_weighted(d, i, p) ** 2)
+
+    def f_xla(p):
+        return jnp.sum(xla_ops.three_interpolate(xyz1, xyz2, p) ** 2)
+
+    gp = jax.grad(f_pallas)(pts2)
+    gx = jax.grad(f_xla)(pts2)
+    np.testing.assert_allclose(np.asarray(gp), np.asarray(gx), atol=1e-4)
+
+
 def test_fps_pallas_batch_tiling():
     """Batches larger than one VMEM tile split over the grid."""
     from tumseg.ops.pallas import fps as fps_mod

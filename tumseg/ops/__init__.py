@@ -83,5 +83,15 @@ def sample_and_group(npoint, radius, nsample, xyz, points, fps_start=None):
     return new_xyz, new_points
 
 
+def three_nn_dispatch(xyz1, xyz2):
+    if _use_pallas():
+        try:
+            return _pallas().three_nn(xyz1, xyz2)
+        except NotImplementedError:
+            pass
+    return _xla.three_nn(xyz1, xyz2)
+
+
 def three_interpolate(xyz1, xyz2, points2):
-    return _xla.three_interpolate(xyz1, xyz2, points2)
+    dists, idx = three_nn_dispatch(xyz1, xyz2)
+    return _xla.interpolate_weighted(dists, idx, points2)

@@ -167,19 +167,26 @@ def three_nn(xyz1: jnp.ndarray, xyz2: jnp.ndarray
     return -neg, idx
 
 
-def three_interpolate(xyz1: jnp.ndarray, xyz2: jnp.ndarray,
-                      points2: jnp.ndarray) -> jnp.ndarray:
-    """Inverse-distance-weighted 3-NN interpolation of points2 onto xyz1.
-
-    xyz1 [B, N, 3], xyz2 [B, S, 3], points2 [B, S, D] -> [B, N, D].
-    Matches pointnet2_utils.py:296-303 (weights 1/(d+1e-8), normalized).
-    """
-    dists, idx = three_nn(xyz1, xyz2)
+def interpolate_weighted(dists: jnp.ndarray, idx: jnp.ndarray,
+                         points2: jnp.ndarray) -> jnp.ndarray:
+    """Inverse-distance weighted gather-sum given 3-NN results
+    (pointnet2_utils.py:300-303: weights 1/(d+1e-8), normalized)."""
     dist_recip = 1.0 / (dists + 1e-8)
     norm = jnp.sum(dist_recip, axis=2, keepdims=True)
     weight = dist_recip / norm                                  # [B, N, 3]
     neighbors = index_points(points2, idx)                      # [B, N, 3, D]
     return jnp.sum(neighbors * weight[..., None], axis=2)
+
+
+def three_interpolate(xyz1: jnp.ndarray, xyz2: jnp.ndarray,
+                      points2: jnp.ndarray) -> jnp.ndarray:
+    """Inverse-distance-weighted 3-NN interpolation of points2 onto xyz1.
+
+    xyz1 [B, N, 3], xyz2 [B, S, 3], points2 [B, S, D] -> [B, N, D].
+    Matches pointnet2_utils.py:296-303.
+    """
+    dists, idx = three_nn(xyz1, xyz2)
+    return interpolate_weighted(dists, idx, points2)
 
 
 @functools.partial(jax.jit, static_argnums=(1,))

@@ -1,0 +1,98 @@
+"""Pallas TPU kernel for fixed-K ball query.
+
+The XLA composition materializes a [B, S, N] distance tensor in HBM and runs
+``top_k`` over the masked indices (~68 ms for sa1's B=32, S=1024, N=4096).
+This kernel never materializes distances off-chip: each program handles one
+batch row x one S-tile, computes the masked index matrix in VMEM from the
+coordinate planes, and peels the K smallest indices with K masked-min
+reductions (successive minima strictly above the last taken index).
+
+Semantics identical to tumseg.ops.core.query_ball_point (and the reference
+models/pointnet2_utils.py:87-107): first ``nsample`` in-radius points in
+ascending index order, shortfall filled with the first found neighbor.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+_DEFAULT_S_TILE = 128
+
+
+def _ballquery_kernel(radius: float, nsample: int, n_total: int,
+                      xs_ref, ys_ref, zs_ref, cx_ref, cy_ref, cz_ref,
+                      out_ref, masked_ref):
+    S_t = cx_ref.shape[1]
+    N = xs_ref.shape[1]
+    col = lax.broadcasted_iota(jnp.int32, (S_t, N), dimension=1)
+    kcol = lax.broadcasted_iota(jnp.int32, (S_t, nsample), dimension=1)
+
+    # [S_t, N] squared distances from broadcasted planes; everything stays
+    # in registers/VMEM
+    dx = xs_ref[0, :][None, :] - cx_ref[0, :][:, None]
+    dy = ys_ref[0, :][None, :] - cy_ref[0, :][:, None]
+    dz = zs_ref[0, :][None, :] - cz_ref[0, :][:, None]
+    inside = (dx * dx + dy * dy + dz * dz) <= radius * radius
+    masked_ref[:, :] = jnp.where(inside, col, n_total)
+
+    masked = masked_ref[:, :]
+    acc = jnp.zeros((S_t, nsample), dtype=jnp.int32)
+    last = jnp.full((S_t, 1), -1, dtype=jnp.int32)
+    first = jnp.zeros((S_t, 1), dtype=jnp.int32)
+    for k in range(nsample):  # static unroll: nsample is a model constant
+        cand = jnp.where(masked > last, masked, n_total)
+        cur = jnp.min(cand, axis=1, keepdims=True)
+        if k == 0:
+            first = cur
+        filled = jnp.where(cur == n_total, first, cur)
+        acc = acc + jnp.where(kcol == k, filled, 0)
+        last = cur
+    out_ref[0, :, :] = acc
+
+
+@functools.partial(jax.jit, static_argnums=(0, 1))
+def query_ball_point(radius: float, nsample: int, xyz: jnp.ndarray,
+                     new_xyz: jnp.ndarray) -> jnp.ndarray:
+    """xyz [B, N, 3], new_xyz [B, S, 3] -> [B, S, nsample] int32."""
+    B, N, _ = xyz.shape
+    S = new_xyz.shape[1]
+    s_tile = min(_DEFAULT_S_TILE, S)
+    if S % s_tile != 0:  # S is a power-of-two model constant; stay simple
+        s_tile = S
+
+    xs = xyz[..., 0].astype(jnp.float32)
+    ys = xyz[..., 1].astype(jnp.float32)
+    zs = xyz[..., 2].astype(jnp.float32)
+    cx = new_xyz[..., 0].astype(jnp.float32)
+    cy = new_xyz[..., 1].astype(jnp.float32)
+    cz = new_xyz[..., 2].astype(jnp.float32)
+
+    grid = (B, S // s_tile)
+    plane = lambda i, j: (i, 0)
+    query = lambda i, j: (i, j)
+
+    kernel = functools.partial(_ballquery_kernel, float(radius), nsample, N)
+    out = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, N), plane, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, N), plane, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, N), plane, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, s_tile), query, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, s_tile), query, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, s_tile), query, memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, s_tile, nsample),
+                               lambda i, j: (i, j, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B, S, nsample), jnp.int32),
+        scratch_shapes=[pltpu.VMEM((s_tile, N), jnp.int32)],
+    )(xs, ys, zs, cx, cy, cz)
+    return out

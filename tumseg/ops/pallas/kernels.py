@@ -4,8 +4,6 @@ compositions in tumseg.ops.core."""
 
 from __future__ import annotations
 
+from tumseg.ops.pallas.ballquery import query_ball_point  # noqa: F401
 from tumseg.ops.pallas.fps import farthest_point_sample  # noqa: F401
-
-
-def query_ball_point(radius, nsample, xyz, new_xyz):
-    raise NotImplementedError
+from tumseg.ops.pallas.threenn import three_nn  # noqa: F401

@@ -1,0 +1,112 @@
+"""Pallas TPU kernel for 3-nearest-neighbor search.
+
+The XLA path builds the full [B, N, S] distance tensor in HBM and runs
+top_k (~48 ms inside fp1 at B=32, N=4096, S=1024). This kernel computes
+each [N_tile, S] distance block in VMEM from coordinate planes and peels the
+three smallest (distance, index) pairs with masked-min reductions — ties
+break to the lower index, matching the XLA/stable-sort order.
+
+Differentiation: the result feeds inverse-distance weights, but in these
+models the coordinates are raw inputs with no parameter dependence
+(models/pointnet2_sem_seg.py:23-24 — l_xyz come straight from the input
+points), so the op is wrapped in a custom_vjp returning zero cotangents for
+the coordinates, keeping the training path jit/grad-compatible.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+_DEFAULT_N_TILE = 512
+_BIG = 3.4e38  # plain float: jnp scalars would be captured tracers
+
+
+def _threenn_kernel(s_total: int, x1_ref, y1_ref, z1_ref, x2_ref, y2_ref,
+                    z2_ref, dist_out_ref, idx_out_ref, dist_ref):
+    N_t = x1_ref.shape[1]
+    S = x2_ref.shape[1]
+    col = lax.broadcasted_iota(jnp.int32, (N_t, S), dimension=1)
+    kcol3 = lax.broadcasted_iota(jnp.int32, (N_t, 3), dimension=1)
+
+    dx = x2_ref[0, :][None, :] - x1_ref[0, :][:, None]
+    dy = y2_ref[0, :][None, :] - y1_ref[0, :][:, None]
+    dz = z2_ref[0, :][None, :] - z1_ref[0, :][:, None]
+    dist_ref[:, :] = dx * dx + dy * dy + dz * dz
+
+    dacc = jnp.zeros((N_t, 3), dtype=jnp.float32)
+    iacc = jnp.zeros((N_t, 3), dtype=jnp.int32)
+    for k in range(3):
+        dist = dist_ref[:, :]
+        minv = jnp.min(dist, axis=1, keepdims=True)
+        mi = jnp.min(jnp.where(dist == minv, col, s_total), axis=1,
+                     keepdims=True)
+        dacc = dacc + jnp.where(kcol3 == k, minv, 0.0)
+        iacc = iacc + jnp.where(kcol3 == k, mi, 0)
+        dist_ref[:, :] = jnp.where(col == mi, _BIG, dist)
+
+    dist_out_ref[0, :, :] = dacc
+    idx_out_ref[0, :, :] = iacc
+
+
+def _three_nn_impl(xyz1: jnp.ndarray, xyz2: jnp.ndarray):
+    B, N, _ = xyz1.shape
+    S = xyz2.shape[1]
+    n_tile = min(_DEFAULT_N_TILE, N)
+    if N % n_tile != 0:
+        n_tile = N
+
+    x1 = xyz1[..., 0].astype(jnp.float32)
+    y1 = xyz1[..., 1].astype(jnp.float32)
+    z1 = xyz1[..., 2].astype(jnp.float32)
+    x2 = xyz2[..., 0].astype(jnp.float32)
+    y2 = xyz2[..., 1].astype(jnp.float32)
+    z2 = xyz2[..., 2].astype(jnp.float32)
+
+    grid = (B, N // n_tile)
+    qspec = pl.BlockSpec((1, n_tile), lambda i, j: (i, j),
+                         memory_space=pltpu.VMEM)
+    sspec = pl.BlockSpec((1, S), lambda i, j: (i, 0),
+                         memory_space=pltpu.VMEM)
+
+    kernel = functools.partial(_threenn_kernel, S)
+    dists, idx = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[qspec, qspec, qspec, sspec, sspec, sspec],
+        out_specs=(
+            pl.BlockSpec((1, n_tile, 3), lambda i, j: (i, j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, n_tile, 3), lambda i, j: (i, j, 0),
+                         memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((B, N, 3), jnp.float32),
+            jax.ShapeDtypeStruct((B, N, 3), jnp.int32),
+        ),
+        scratch_shapes=[pltpu.VMEM((n_tile, S), jnp.float32)],
+    )(x1, y1, z1, x2, y2, z2)
+    return dists, idx
+
+
+@jax.custom_vjp
+def three_nn(xyz1: jnp.ndarray, xyz2: jnp.ndarray):
+    """xyz1 [B, N, 3], xyz2 [B, S, 3] -> (dists [B, N, 3], idx [B, N, 3])."""
+    return _three_nn_impl(xyz1, xyz2)
+
+
+def _three_nn_fwd(xyz1, xyz2):
+    return _three_nn_impl(xyz1, xyz2), (xyz1, xyz2)
+
+
+def _three_nn_bwd(res, g):
+    xyz1, xyz2 = res
+    return jnp.zeros_like(xyz1), jnp.zeros_like(xyz2)
+
+
+three_nn.defvjp(_three_nn_fwd, _three_nn_bwd)
