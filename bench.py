@@ -24,6 +24,16 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+# persistent compile cache: the tunneled remote-compile path is slow, and
+# repeated bench invocations hit identical HLO
+try:
+    jax.config.update("jax_compilation_cache_dir",
+                      os.environ.get("JAX_COMPILATION_CACHE_DIR",
+                                     "/tmp/tumseg_jax_cache"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+except Exception:
+    pass
+
 TORCH_CPU_REFERENCE_POINTS_PER_SEC = 7649.0  # measured anchor, BASELINE.md
 
 

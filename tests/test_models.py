@@ -126,6 +126,41 @@ def test_feature_transform_regularizer_zero_for_orthogonal():
     assert float(L.feature_transform_regularizer(eye)) < 1e-5
 
 
+def test_msg_set_abstraction_layer(rng):
+    """Multi-scale grouping SA (reference pointnet2_utils.py:205-262):
+    per-radius MLPs concatenated over scales."""
+    import jax.numpy as jnp
+
+    key = jax.random.PRNGKey(0)
+    params, stats = L.set_abstraction_msg_init(
+        key, npoint=32, radius_list=[0.1, 0.2], nsample_list=[8, 16],
+        in_channel=5, mlp_list=[[16, 16], [16, 32]])
+    cfg = dict(npoint=32, radius_list=[0.1, 0.2], nsample_list=[8, 16])
+    xyz = jnp.array(rng.random((2, 128, 3)).astype(np.float32))
+    feats = jnp.array(rng.random((2, 128, 5)).astype(np.float32))
+    new_xyz, new_points, new_stats = L.set_abstraction_msg(
+        params, stats, cfg, xyz, feats, training=True, momentum=0.1)
+    assert new_xyz.shape == (2, 32, 3)
+    assert new_points.shape == (2, 32, 16 + 32)  # concat over scales
+    assert len(new_stats) == 2
+
+
+def test_pointnet_encoder_global_feat(rng):
+    """global_feat=True returns the 1024-dim pooled vector
+    (reference pointnet_utils.py:129-130)."""
+    import jax.numpy as jnp
+
+    params, stats = L.pointnet_encoder_init(jax.random.PRNGKey(0), 6,
+                                            feature_transform=True)
+    x = jnp.array(rng.random((2, 64, 6)).astype(np.float32))
+    feat, trans, trans_feat, _ = L.pointnet_encoder(
+        params, stats, x, global_feat=True, feature_transform=True,
+        training=False, momentum=0.1)
+    assert feat.shape == (2, 1024)
+    assert trans.shape == (2, 3, 3)
+    assert trans_feat.shape == (2, 64, 64)
+
+
 def test_registry():
     assert models.get_module("pointnet2_sem_seg_original").__name__.endswith(
         "pointnet2_sem_seg")

@@ -10,6 +10,9 @@ reductions (successive minima strictly above the last taken index).
 Semantics identical to tumseg.ops.core.query_ball_point (and the reference
 models/pointnet2_utils.py:87-107): first ``nsample`` in-radius points in
 ascending index order, shortfall filled with the first found neighbor.
+
+Layout note: coordinates are packed as [B, 3, N] planes so every BlockSpec
+has its last two dims either full or (8, 128)-aligned, as Mosaic requires.
 """
 
 from __future__ import annotations
@@ -26,18 +29,16 @@ _DEFAULT_S_TILE = 128
 
 
 def _ballquery_kernel(radius: float, nsample: int, n_total: int,
-                      xs_ref, ys_ref, zs_ref, cx_ref, cy_ref, cz_ref,
-                      out_ref, masked_ref):
-    S_t = cx_ref.shape[1]
-    N = xs_ref.shape[1]
+                      xyz_ref, q_ref, out_ref, masked_ref):
+    S_t = q_ref.shape[2]
+    N = xyz_ref.shape[2]
     col = lax.broadcasted_iota(jnp.int32, (S_t, N), dimension=1)
     kcol = lax.broadcasted_iota(jnp.int32, (S_t, nsample), dimension=1)
 
-    # [S_t, N] squared distances from broadcasted planes; everything stays
-    # in registers/VMEM
-    dx = xs_ref[0, :][None, :] - cx_ref[0, :][:, None]
-    dy = ys_ref[0, :][None, :] - cy_ref[0, :][:, None]
-    dz = zs_ref[0, :][None, :] - cz_ref[0, :][:, None]
+    # [S_t, N] squared distances from broadcasted planes; stays in VMEM
+    dx = xyz_ref[0, 0, :][None, :] - q_ref[0, 0, :][:, None]
+    dy = xyz_ref[0, 1, :][None, :] - q_ref[0, 1, :][:, None]
+    dz = xyz_ref[0, 2, :][None, :] - q_ref[0, 2, :][:, None]
     inside = (dx * dx + dy * dy + dz * dz) <= radius * radius
     masked_ref[:, :] = jnp.where(inside, col, n_total)
 
@@ -66,33 +67,22 @@ def query_ball_point(radius: float, nsample: int, xyz: jnp.ndarray,
     if S % s_tile != 0:  # S is a power-of-two model constant; stay simple
         s_tile = S
 
-    xs = xyz[..., 0].astype(jnp.float32)
-    ys = xyz[..., 1].astype(jnp.float32)
-    zs = xyz[..., 2].astype(jnp.float32)
-    cx = new_xyz[..., 0].astype(jnp.float32)
-    cy = new_xyz[..., 1].astype(jnp.float32)
-    cz = new_xyz[..., 2].astype(jnp.float32)
+    planes = jnp.transpose(xyz.astype(jnp.float32), (0, 2, 1))      # [B,3,N]
+    queries = jnp.transpose(new_xyz.astype(jnp.float32), (0, 2, 1))  # [B,3,S]
 
     grid = (B, S // s_tile)
-    plane = lambda i, j: (i, 0)
-    query = lambda i, j: (i, j)
-
     kernel = functools.partial(_ballquery_kernel, float(radius), nsample, N)
-    out = pl.pallas_call(
+    return pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=[
-            pl.BlockSpec((1, N), plane, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, N), plane, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, N), plane, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, s_tile), query, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, s_tile), query, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, s_tile), query, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 3, N), lambda i, j: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 3, s_tile), lambda i, j: (i, 0, j),
+                         memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, s_tile, nsample),
-                               lambda i, j: (i, j, 0),
+        out_specs=pl.BlockSpec((1, s_tile, nsample), lambda i, j: (i, j, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((B, S, nsample), jnp.int32),
         scratch_shapes=[pltpu.VMEM((s_tile, N), jnp.int32)],
-    )(xs, ys, zs, cx, cy, cz)
-    return out
+    )(planes, queries)

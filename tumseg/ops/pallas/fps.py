@@ -88,6 +88,9 @@ def farthest_point_sample(xyz: jnp.ndarray, npoint: int,
     zs = xyz[..., 2].astype(jnp.float32)
 
     b_tile = max(1, min(B, _VMEM_PLANE_BUDGET // max(N, 1)))
+    if b_tile < B:
+        # Mosaic wants the sublane block dim (8, .)-aligned unless full
+        b_tile = max(8, b_tile - b_tile % 8)
     grid = (pl.cdiv(B, b_tile),)
 
     kernel = functools.partial(_fps_kernel, npoint)

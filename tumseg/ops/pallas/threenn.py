@@ -27,16 +27,16 @@ _DEFAULT_N_TILE = 512
 _BIG = 3.4e38  # plain float: jnp scalars would be captured tracers
 
 
-def _threenn_kernel(s_total: int, x1_ref, y1_ref, z1_ref, x2_ref, y2_ref,
-                    z2_ref, dist_out_ref, idx_out_ref, dist_ref):
-    N_t = x1_ref.shape[1]
-    S = x2_ref.shape[1]
+def _threenn_kernel(s_total: int, q_ref, src_ref, dist_out_ref, idx_out_ref,
+                    dist_ref):
+    N_t = q_ref.shape[2]
+    S = src_ref.shape[2]
     col = lax.broadcasted_iota(jnp.int32, (N_t, S), dimension=1)
     kcol3 = lax.broadcasted_iota(jnp.int32, (N_t, 3), dimension=1)
 
-    dx = x2_ref[0, :][None, :] - x1_ref[0, :][:, None]
-    dy = y2_ref[0, :][None, :] - y1_ref[0, :][:, None]
-    dz = z2_ref[0, :][None, :] - z1_ref[0, :][:, None]
+    dx = src_ref[0, 0, :][None, :] - q_ref[0, 0, :][:, None]
+    dy = src_ref[0, 1, :][None, :] - q_ref[0, 1, :][:, None]
+    dz = src_ref[0, 2, :][None, :] - q_ref[0, 2, :][:, None]
     dist_ref[:, :] = dx * dx + dy * dy + dz * dz
 
     dacc = jnp.zeros((N_t, 3), dtype=jnp.float32)
@@ -61,24 +61,22 @@ def _three_nn_impl(xyz1: jnp.ndarray, xyz2: jnp.ndarray):
     if N % n_tile != 0:
         n_tile = N
 
-    x1 = xyz1[..., 0].astype(jnp.float32)
-    y1 = xyz1[..., 1].astype(jnp.float32)
-    z1 = xyz1[..., 2].astype(jnp.float32)
-    x2 = xyz2[..., 0].astype(jnp.float32)
-    y2 = xyz2[..., 1].astype(jnp.float32)
-    z2 = xyz2[..., 2].astype(jnp.float32)
+    # [B, 3, N]/[B, 3, S] planes: every BlockSpec's trailing dims are either
+    # full or (8, 128)-aligned, as Mosaic requires
+    queries = jnp.transpose(xyz1.astype(jnp.float32), (0, 2, 1))
+    sources = jnp.transpose(xyz2.astype(jnp.float32), (0, 2, 1))
 
     grid = (B, N // n_tile)
-    qspec = pl.BlockSpec((1, n_tile), lambda i, j: (i, j),
+    qspec = pl.BlockSpec((1, 3, n_tile), lambda i, j: (i, 0, j),
                          memory_space=pltpu.VMEM)
-    sspec = pl.BlockSpec((1, S), lambda i, j: (i, 0),
+    sspec = pl.BlockSpec((1, 3, S), lambda i, j: (i, 0, 0),
                          memory_space=pltpu.VMEM)
 
     kernel = functools.partial(_threenn_kernel, S)
     dists, idx = pl.pallas_call(
         kernel,
         grid=grid,
-        in_specs=[qspec, qspec, qspec, sspec, sspec, sspec],
+        in_specs=[qspec, sspec],
         out_specs=(
             pl.BlockSpec((1, n_tile, 3), lambda i, j: (i, j, 0),
                          memory_space=pltpu.VMEM),
@@ -90,7 +88,7 @@ def _three_nn_impl(xyz1: jnp.ndarray, xyz2: jnp.ndarray):
             jax.ShapeDtypeStruct((B, N, 3), jnp.int32),
         ),
         scratch_shapes=[pltpu.VMEM((n_tile, S), jnp.float32)],
-    )(x1, y1, z1, x2, y2, z2)
+    )(queries, sources)
     return dists, idx
 
 
