@@ -98,6 +98,38 @@ def test_threenn_pallas_interp_grad():
     np.testing.assert_allclose(np.asarray(gp), np.asarray(gx), atol=1e-4)
 
 
+@pytest.mark.parametrize("B,N,S,D", [(2, 128, 64, 8), (1, 512, 16, 128)])
+def test_weighted_interpolate_matches_xla(B, N, S, D):
+    from tumseg.ops.pallas.interpolate import weighted_interpolate
+
+    rng = np.random.default_rng(5)
+    dists = jnp.asarray(rng.random((B, N, 3)) + 0.01, jnp.float32)
+    idx = jnp.asarray(rng.integers(0, S, (B, N, 3)), jnp.int32)
+    pts2 = jnp.asarray(rng.random((B, S, D)), jnp.float32)
+    recip = 1.0 / (dists + 1e-8)
+    w = recip / jnp.sum(recip, axis=2, keepdims=True)
+    want = np.asarray(xla_ops.interpolate_weighted(dists, idx, pts2))
+    got = np.asarray(weighted_interpolate(idx, w, pts2))
+    np.testing.assert_allclose(got, want, atol=1e-4)
+
+
+def test_weighted_interpolate_grad_matches_xla():
+    from tumseg.ops.pallas.interpolate import weighted_interpolate
+
+    rng = np.random.default_rng(6)
+    B, N, S, D = 1, 128, 32, 16
+    dists = jnp.asarray(rng.random((B, N, 3)) + 0.01, jnp.float32)
+    idx = jnp.asarray(rng.integers(0, S, (B, N, 3)), jnp.int32)
+    pts2 = jnp.asarray(rng.random((B, S, D)), jnp.float32)
+    recip = 1.0 / (dists + 1e-8)
+    w = recip / jnp.sum(recip, axis=2, keepdims=True)
+
+    gp = jax.grad(lambda p: jnp.sum(weighted_interpolate(idx, w, p) ** 2))(pts2)
+    gx = jax.grad(lambda p: jnp.sum(
+        xla_ops.interpolate_weighted(dists, idx, p) ** 2))(pts2)
+    np.testing.assert_allclose(np.asarray(gp), np.asarray(gx), atol=1e-3)
+
+
 def test_fps_pallas_batch_tiling():
     """Batches larger than one VMEM tile split over the grid."""
     from tumseg.ops.pallas import fps as fps_mod

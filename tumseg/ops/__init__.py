@@ -93,5 +93,14 @@ def three_nn_dispatch(xyz1, xyz2):
 
 
 def three_interpolate(xyz1, xyz2, points2):
+    import jax.numpy as jnp
+
     dists, idx = three_nn_dispatch(xyz1, xyz2)
+    if _use_pallas():
+        try:
+            dist_recip = 1.0 / (dists + 1e-8)
+            weight = dist_recip / jnp.sum(dist_recip, axis=2, keepdims=True)
+            return _pallas().weighted_interpolate(idx, weight, points2)
+        except NotImplementedError:
+            pass
     return _xla.interpolate_weighted(dists, idx, points2)
