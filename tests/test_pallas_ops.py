@@ -130,6 +130,52 @@ def test_weighted_interpolate_grad_matches_xla():
     np.testing.assert_allclose(np.asarray(gp), np.asarray(gx), atol=1e-3)
 
 
+@pytest.mark.parametrize("B,N,S,K,D", [(2, 128, 32, 8, 5), (1, 256, 64, 16, 0)])
+def test_group_points_matches_xla(B, N, S, K, D):
+    from tumseg.ops.pallas.group import group_points
+
+    rng = np.random.default_rng(7)
+    xyz = jnp.asarray(rng.random((B, N, 3)), jnp.float32)
+    feats = (jnp.asarray(rng.random((B, N, D)), jnp.float32) if D else None)
+    idx = jnp.asarray(rng.integers(0, N, (B, S, K)), jnp.int32)
+    new_xyz = jnp.asarray(rng.random((B, S, 3)), jnp.float32)
+
+    grouped_xyz = xla_ops.index_points(xyz, idx) - new_xyz[:, :, None, :]
+    if feats is not None:
+        want = jnp.concatenate(
+            [grouped_xyz, xla_ops.index_points(feats, idx)], axis=-1)
+        src = jnp.concatenate([xyz, feats], axis=-1)
+    else:
+        want = grouped_xyz
+        src = xyz
+    got = group_points(idx, src, new_xyz)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-5)
+
+
+def test_group_points_grad_matches_xla():
+    from tumseg.ops.pallas.group import group_points
+
+    rng = np.random.default_rng(8)
+    B, N, S, K, D = 1, 64, 16, 8, 4
+    xyz = jnp.asarray(rng.random((B, N, 3)), jnp.float32)
+    feats = jnp.asarray(rng.random((B, N, D)), jnp.float32)
+    idx = jnp.asarray(rng.integers(0, N, (B, S, K)), jnp.int32)
+    new_xyz = jnp.asarray(rng.random((B, S, 3)), jnp.float32)
+
+    def f_pallas(p):
+        src = jnp.concatenate([xyz, p], axis=-1)
+        return jnp.sum(group_points(idx, src, new_xyz) ** 2)
+
+    def f_xla(p):
+        gx = xla_ops.index_points(xyz, idx) - new_xyz[:, :, None, :]
+        return jnp.sum(jnp.concatenate(
+            [gx, xla_ops.index_points(p, idx)], axis=-1) ** 2)
+
+    gp = jax.grad(f_pallas)(feats)
+    gx = jax.grad(f_xla)(feats)
+    np.testing.assert_allclose(np.asarray(gp), np.asarray(gx), atol=1e-3)
+
+
 def test_fps_pallas_batch_tiling():
     """Batches larger than one VMEM tile split over the grid."""
     from tumseg.ops.pallas import fps as fps_mod

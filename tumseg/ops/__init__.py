@@ -68,11 +68,18 @@ def query_ball_point(radius, nsample, xyz, new_xyz):
 
 
 def sample_and_group(npoint, radius, nsample, xyz, points, fps_start=None):
+    import jax.numpy as jnp
+
     fps_idx = farthest_point_sample(xyz, npoint, start=fps_start)
     new_xyz = index_points(xyz, fps_idx)
     idx = query_ball_point(radius, nsample, xyz, new_xyz)
-    import jax.numpy as jnp
-
+    if _use_pallas():
+        try:
+            src = (jnp.concatenate([xyz, points], axis=-1)
+                   if points is not None else xyz)
+            return new_xyz, _pallas().group_points(idx, src, new_xyz)
+        except NotImplementedError:
+            pass
     grouped_xyz = index_points(xyz, idx)
     grouped_xyz_norm = grouped_xyz - new_xyz[:, :, None, :]
     if points is not None:

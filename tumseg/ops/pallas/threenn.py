@@ -2,9 +2,11 @@
 
 The XLA path builds the full [B, N, S] distance tensor in HBM and runs
 top_k (~48 ms inside fp1 at B=32, N=4096, S=1024). This kernel computes
-each [N_tile, S] distance block in VMEM from coordinate planes and peels the
-three smallest (distance, index) pairs with masked-min reductions — ties
-break to the lower index, matching the XLA/stable-sort order.
+each [N_tile, S] distance block in VMEM — the cross-term as an MXU matmul
+(the same ||q||^2 + ||s||^2 - 2 q.s expansion as the XLA path, so distances
+round identically) — and peels the three smallest (distance, index) pairs
+with masked-min reductions; ties break to the lower index, matching the
+stable-sort order.
 
 Differentiation: the result feeds inverse-distance weights, but in these
 models the coordinates are raw inputs with no parameter dependence
@@ -23,21 +25,27 @@ from jax import lax
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-_DEFAULT_N_TILE = 512
+_DEFAULT_N_TILE = 1024
 _BIG = 3.4e38  # plain float: jnp scalars would be captured tracers
 
 
-def _threenn_kernel(s_total: int, q_ref, src_ref, dist_out_ref, idx_out_ref,
-                    dist_ref):
-    N_t = q_ref.shape[2]
-    S = src_ref.shape[2]
+def _threenn_kernel(s_total: int, q_ref, src_ref, splane_ref, dist_out_ref,
+                    idx_out_ref, dist_ref):
+    N_t = q_ref.shape[1]
+    S = src_ref.shape[1]
     col = lax.broadcasted_iota(jnp.int32, (N_t, S), dimension=1)
     kcol3 = lax.broadcasted_iota(jnp.int32, (N_t, 3), dimension=1)
 
-    dx = src_ref[0, 0, :][None, :] - q_ref[0, 0, :][:, None]
-    dy = src_ref[0, 1, :][None, :] - q_ref[0, 1, :][:, None]
-    dz = src_ref[0, 2, :][None, :] - q_ref[0, 2, :][:, None]
-    dist_ref[:, :] = dx * dx + dy * dy + dz * dz
+    q = q_ref[0, :, :]                                   # [N_t, 3]
+    s = src_ref[0, :, :]                                 # [S, 3]
+    qsq = jnp.sum(q * q, axis=1, keepdims=True)          # [N_t, 1]
+    sx = splane_ref[0, 0, :]
+    sy = splane_ref[0, 1, :]
+    sz = splane_ref[0, 2, :]
+    ssq = (sx * sx + sy * sy + sz * sz)[None, :]         # [1, S] (lane axis)
+    cross = lax.dot_general(q, s, (((1,), (1,)), ((), ())),
+                            preferred_element_type=jnp.float32)
+    dist_ref[:, :] = qsq + ssq - 2.0 * cross
 
     dacc = jnp.zeros((N_t, 3), dtype=jnp.float32)
     iacc = jnp.zeros((N_t, 3), dtype=jnp.int32)
@@ -61,22 +69,23 @@ def _three_nn_impl(xyz1: jnp.ndarray, xyz2: jnp.ndarray):
     if N % n_tile != 0:
         n_tile = N
 
-    # [B, 3, N]/[B, 3, S] planes: every BlockSpec's trailing dims are either
-    # full or (8, 128)-aligned, as Mosaic requires
-    queries = jnp.transpose(xyz1.astype(jnp.float32), (0, 2, 1))
-    sources = jnp.transpose(xyz2.astype(jnp.float32), (0, 2, 1))
+    queries = xyz1.astype(jnp.float32)
+    sources = xyz2.astype(jnp.float32)
+    splanes = jnp.transpose(sources, (0, 2, 1))          # [B, 3, S]
 
     grid = (B, N // n_tile)
-    qspec = pl.BlockSpec((1, 3, n_tile), lambda i, j: (i, 0, j),
-                         memory_space=pltpu.VMEM)
-    sspec = pl.BlockSpec((1, 3, S), lambda i, j: (i, 0, 0),
-                         memory_space=pltpu.VMEM)
-
     kernel = functools.partial(_threenn_kernel, S)
     dists, idx = pl.pallas_call(
         kernel,
         grid=grid,
-        in_specs=[qspec, sspec],
+        in_specs=[
+            pl.BlockSpec((1, n_tile, 3), lambda i, j: (i, j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, S, 3), lambda i, j: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 3, S), lambda i, j: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
         out_specs=(
             pl.BlockSpec((1, n_tile, 3), lambda i, j: (i, j, 0),
                          memory_space=pltpu.VMEM),
@@ -88,7 +97,7 @@ def _three_nn_impl(xyz1: jnp.ndarray, xyz2: jnp.ndarray):
             jax.ShapeDtypeStruct((B, N, 3), jnp.int32),
         ),
         scratch_shapes=[pltpu.VMEM((n_tile, S), jnp.float32)],
-    )(queries, sources)
+    )(queries, sources, splanes)
     return dists, idx
 
 
