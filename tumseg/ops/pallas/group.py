@@ -2,16 +2,20 @@
 
 Replaces the set-abstraction gather pipeline — ``index_points(xyz, idx)``,
 ``index_points(points, idx)``, center-subtract, concat (reference
-models/pointnet2_utils.py:127-134) — with one kernel: for each group tile
-the [rows, N] one-hot of the neighbor indices is built in VMEM and
-contracted with the [N, 3+D] source matrix on the MXU, so XLA's slow
-dynamic gather (≈10 ms per call at sa1 scale) never runs and the
-[B, S, K, 3+D] grouped tensor is produced directly with the first three
-channels made center-relative.
+models/pointnet2_utils.py:127-134) — with a one-hot MXU contraction, so
+XLA's slow dynamic gather never runs.
 
-Differentiation: d/d(features) is the transposed one-hot contraction,
-implemented as an accumulating backward kernel. Coordinate inputs get zero
-cotangents (no parameter dependence upstream — same argument as threenn).
+Layout choice: the contraction is computed transposed,
+``out.T [C, R] = src.T [C, N] @ onehot.T [N, R]`` with R = S*K flat group
+rows, because C (a dozen channels at sa1) would otherwise pad to 128 output
+lanes and waste ~10x MXU work; as matmul *rows* C only pads to the 8-sublane
+granule. The flat row indices and the K-expanded centers are prepared by
+cheap XLA reshapes outside the kernel (Mosaic cannot shape-cast lanes into
+sublanes).
+
+Differentiation: d/d(src) is the transposed contraction (accumulating
+backward kernel); index/center inputs get zero cotangents (coordinates have
+no parameter dependence upstream — same argument as threenn).
 """
 
 from __future__ import annotations
@@ -24,120 +28,118 @@ from jax import lax
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-_ROWS_BUDGET = 1024  # one-hot rows per program (s_tile * K)
+_R_TILE = 512
 
 
-def _group_fwd_kernel(K: int, idx_ref, src_ref, center_ref, out_ref):
-    s_tile = idx_ref.shape[1]
-    N = src_ref.shape[1]
-    C = src_ref.shape[2]
-    R = s_tile * K
-
-    idx_flat = idx_ref[0, :, :].reshape(R, 1)
-    col = lax.broadcasted_iota(jnp.int32, (R, N), dimension=1)
-    onehot = (col == idx_flat).astype(jnp.float32)
-    gathered = jnp.dot(onehot, src_ref[0, :, :],
-                       preferred_element_type=jnp.float32)    # [R, C]
-    grouped = gathered.reshape(s_tile, K, C)
-
-    # first 3 channels become center-relative
-    ch = lax.broadcasted_iota(jnp.int32, (s_tile, K, C), dimension=2)
-    center = jnp.zeros((s_tile, K, C), dtype=jnp.float32)
-    for c in range(3):
-        center = center + jnp.where(
-            ch == c, center_ref[0, :, c][:, None, None], 0.0)
-    out_ref[0, :, :, :] = grouped - center
+def _group_fwd_kernel(idx_row_ref, srcT_ref, centerT_ref, outT_ref):
+    C, N = srcT_ref.shape[1], srcT_ref.shape[2]
+    R = idx_row_ref.shape[2]
+    idx_row = idx_row_ref[0, 0, :][None, :]                  # [1, R] lanes
+    niota = lax.broadcasted_iota(jnp.int32, (N, R), dimension=0)
+    onehot_t = (niota == idx_row).astype(jnp.float32)        # [N, R]
+    gathered = jnp.dot(srcT_ref[0, :, :], onehot_t,
+                       preferred_element_type=jnp.float32)   # [C, R]
+    riota = lax.broadcasted_iota(jnp.int32, (C, R), dimension=0)
+    center = jnp.zeros((C, R), dtype=jnp.float32)
+    for c in range(3):  # channels 0-2 become center-relative
+        center = center + jnp.where(riota == c,
+                                    centerT_ref[0, c, :][None, :], 0.0)
+    outT_ref[0, :, :] = gathered - center
 
 
-def _group_bwd_kernel(K: int, idx_ref, g_ref, dsrc_ref):
+def _group_bwd_kernel(idx_col_ref, gT_ref, dsrcT_ref):
     j = pl.program_id(1)
 
     @pl.when(j == 0)
     def _():
-        dsrc_ref[0, :, :] = jnp.zeros_like(dsrc_ref[0, :, :])
+        dsrcT_ref[0, :, :] = jnp.zeros_like(dsrcT_ref[0, :, :])
 
-    s_tile = idx_ref.shape[1]
-    N = dsrc_ref.shape[1]
-    C = dsrc_ref.shape[2]
-    R = s_tile * K
-    idx_flat = idx_ref[0, :, :].reshape(R, 1)
+    N = dsrcT_ref.shape[2]
+    R = idx_col_ref.shape[1]
     col = lax.broadcasted_iota(jnp.int32, (R, N), dimension=1)
-    onehot = (col == idx_flat).astype(jnp.float32)            # [R, N]
-    g = g_ref[0, :, :, :].reshape(R, C)
-    # dsrc[n, c] += sum_r onehot[r, n] * g[r, c]
-    dsrc_ref[0, :, :] += lax.dot_general(
-        onehot, g, (((0,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32)
+    onehot = (col == idx_col_ref[0, :, :]).astype(jnp.float32)  # [R, N]
+    dsrcT_ref[0, :, :] += jnp.dot(gT_ref[0, :, :], onehot,
+                                  preferred_element_type=jnp.float32)
 
 
-def _s_tile_for(K: int, S: int) -> int:
-    s_tile = max(1, _ROWS_BUDGET // K)
-    s_tile = min(s_tile, S)
-    while S % s_tile != 0:
-        s_tile -= 1
-    return s_tile
+def _r_tile(R_total: int) -> int:
+    r = min(_R_TILE, R_total)
+    while R_total % r != 0:
+        r //= 2
+    return max(r, 1)
 
 
-def _group_impl(idx, src, new_xyz):
-    B, S, K = idx.shape
-    N, C = src.shape[1], src.shape[2]
-    s_tile = _s_tile_for(K, S)
-    grid = (B, S // s_tile)
-    kernel = functools.partial(_group_fwd_kernel, K)
+def _group_t_impl(idx_col, idx_row, srcT, centerT):
+    B, C, N = srcT.shape
+    R_total = idx_row.shape[2]
+    r = _r_tile(R_total)
+    grid = (B, R_total // r)
     return pl.pallas_call(
-        kernel,
+        _group_fwd_kernel,
         grid=grid,
         in_specs=[
-            pl.BlockSpec((1, s_tile, K), lambda i, j: (i, j, 0),
+            pl.BlockSpec((1, 1, r), lambda i, j: (i, 0, j),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, N, C), lambda i, j: (i, 0, 0),
+            pl.BlockSpec((1, C, N), lambda i, j: (i, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, s_tile, 3), lambda i, j: (i, j, 0),
+            pl.BlockSpec((1, 3, r), lambda i, j: (i, 0, j),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, s_tile, K, C), lambda i, j: (i, j, 0, 0),
+        out_specs=pl.BlockSpec((1, C, r), lambda i, j: (i, 0, j),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((B, S, K, C), jnp.float32),
-    )(idx.astype(jnp.int32), src.astype(jnp.float32),
-      new_xyz.astype(jnp.float32))
+        out_shape=jax.ShapeDtypeStruct((B, C, R_total), jnp.float32),
+    )(idx_row, srcT, centerT)
 
 
-def _group_bwd_impl(idx, g, N: int):
-    B, S, K, C = g.shape
-    s_tile = _s_tile_for(K, S)
-    grid = (B, S // s_tile)
-    kernel = functools.partial(_group_bwd_kernel, K)
+def _group_t_bwd_impl(idx_col, gT, N: int):
+    B, C, R_total = gT.shape
+    r = _r_tile(R_total)
+    grid = (B, R_total // r)
     return pl.pallas_call(
-        kernel,
+        _group_bwd_kernel,
         grid=grid,
         in_specs=[
-            pl.BlockSpec((1, s_tile, K), lambda i, j: (i, j, 0),
+            pl.BlockSpec((1, r, 1), lambda i, j: (i, j, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, s_tile, K, C), lambda i, j: (i, j, 0, 0),
+            pl.BlockSpec((1, C, r), lambda i, j: (i, 0, j),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, N, C), lambda i, j: (i, 0, 0),
+        out_specs=pl.BlockSpec((1, C, N), lambda i, j: (i, 0, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((B, N, C), jnp.float32),
-    )(idx.astype(jnp.int32), g.astype(jnp.float32))
+        out_shape=jax.ShapeDtypeStruct((B, C, N), jnp.float32),
+    )(idx_col, gT)
 
 
 @jax.custom_vjp
+def _group_t(idx_col, idx_row, srcT, centerT):
+    return _group_t_impl(idx_col, idx_row, srcT, centerT)
+
+
+def _gt_fwd(idx_col, idx_row, srcT, centerT):
+    out = _group_t_impl(idx_col, idx_row, srcT, centerT)
+    return out, (idx_col, srcT.shape[2], centerT)
+
+
+def _gt_bwd(res, g):
+    idx_col, N, centerT = res
+    dsrcT = _group_t_bwd_impl(idx_col, g, N)
+    return None, None, dsrcT, jnp.zeros_like(centerT)
+
+
+_group_t.defvjp(_gt_fwd, _gt_bwd)
+
+
 def group_points(idx: jnp.ndarray, src: jnp.ndarray,
                  new_xyz: jnp.ndarray) -> jnp.ndarray:
     """idx [B,S,K] int, src [B,N,3+D] (xyz first), new_xyz [B,S,3]
     -> grouped [B,S,K,3+D] with channels 0-2 center-relative."""
-    return _group_impl(idx, src, new_xyz)
-
-
-def _gp_fwd(idx, src, new_xyz):
-    return _group_impl(idx, src, new_xyz), (idx, src.shape[1], new_xyz)
-
-
-def _gp_bwd(res, g):
-    idx, N, new_xyz = res
-    dsrc = _group_bwd_impl(idx, g, N)
-    return None, dsrc, jnp.zeros_like(new_xyz)
-
-
-group_points.defvjp(_gp_fwd, _gp_bwd)
+    B, S, K = idx.shape
+    C = src.shape[2]
+    R = S * K
+    idx_flat = idx.reshape(B, R).astype(jnp.int32)
+    srcT = jnp.transpose(src.astype(jnp.float32), (0, 2, 1))
+    centerT = jnp.transpose(
+        jnp.broadcast_to(new_xyz[:, :, None, :], (B, S, K, 3)
+                         ).reshape(B, R, 3).astype(jnp.float32), (0, 2, 1))
+    outT = _group_t(idx_flat[:, :, None], idx_flat[:, None, :], srcT, centerT)
+    return jnp.transpose(outT.reshape(B, C, S, K), (0, 2, 3, 1))
