@@ -175,3 +175,11 @@ if __name__ == "__main__":
     main(args)
     time_print(start)
     current_time()
+
+
+def _console_main():
+    args = parse_args()
+    start = time.time()
+    main(args)
+    time_print(start)
+    current_time()

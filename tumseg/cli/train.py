@@ -241,3 +241,13 @@ if __name__ == "__main__":
         print("best accuracy epoch = %d" % accuracyChart.index(max_value))
     time_print(start)
     current_time()
+
+
+def _console_main():
+    import time as _time
+
+    args = parse_args()
+    start = _time.time()
+    main(args)
+    time_print(start)
+    current_time()
