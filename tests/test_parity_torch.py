@@ -95,6 +95,62 @@ def test_pointnet_forward_parity(extra):
     assert (np.asarray(got).argmax(-1) == ref_out.numpy().argmax(-1)).all()
 
 
+def test_pointnet2_gradient_parity(monkeypatch):
+    """Same weights + same batch -> same parameter gradients (eval-mode BN,
+    no dropout), proving the training dynamics match the reference."""
+    _deterministic_randint(monkeypatch)
+    import importlib
+
+    ref_mod = importlib.import_module("models.pointnet2_sem_seg")
+    torch.manual_seed(1)
+    ref = ref_mod.get_model(8, 0).eval()
+
+    variables = port_state_dict(ref.state_dict(), "pointnet2_sem_seg")
+    variables = jax.tree_util.tree_map(jnp.asarray, variables)
+    mine = models.get_module("pointnet2_sem_seg")
+
+    r = np.random.default_rng(5)
+    x = r.random((1, 2048, 6)).astype(np.float32)
+    tgt = r.integers(0, 8, (1, 2048))
+    w = np.ones(8, dtype=np.float32)
+
+    # torch gradients
+    tx = torch.from_numpy(x).transpose(2, 1)
+    pred, _ = ref(tx)
+    import torch.nn.functional as F
+
+    tloss = F.nll_loss(pred.reshape(-1, 8), torch.from_numpy(tgt).reshape(-1),
+                       weight=torch.from_numpy(w))
+    tloss.backward()
+    tgrads = {k: v.grad.detach().numpy() for k, v in
+              ref.named_parameters() if v.grad is not None}
+
+    # jax gradients
+    def loss_fn(params):
+        logp, aux, _ = mine.apply(
+            {"params": params, "batch_stats": variables["batch_stats"]},
+            jnp.asarray(x), training=False)
+        return mine.loss(logp, jnp.asarray(tgt), aux, jnp.asarray(w))
+
+    jloss, jgrads = jax.value_and_grad(loss_fn)(variables["params"])
+    np.testing.assert_allclose(float(jloss), float(tloss), rtol=1e-4)
+
+    # compare a representative set of kernels across the network
+    checks = [
+        ("sa1.mlp_convs.0.weight", jgrads["sa1"][0]["conv"]["w"], True),
+        ("sa4.mlp_convs.2.weight", jgrads["sa4"][2]["conv"]["w"], True),
+        ("fp1.mlp_convs.0.weight", jgrads["fp1"][0]["conv"]["w"], True),
+        ("conv2.weight", jgrads["conv2"]["w"], True),
+        ("bn1.weight", jgrads["bn1"]["scale"], False),
+    ]
+    for tname, jg, is_conv in checks:
+        tg = tgrads[tname]
+        tg = tg.reshape(tg.shape[0], -1).T if is_conv else tg
+        jg = np.asarray(jg)
+        atol = max(2e-3 * float(np.abs(tg).max()), 1e-8)
+        np.testing.assert_allclose(jg, tg, atol=atol, err_msg=tname)
+
+
 def test_loss_parity():
     """Weighted NLL + transform regularizer match torch.nn.functional."""
     r = np.random.default_rng(2)
