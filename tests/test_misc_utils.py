@@ -46,6 +46,27 @@ def test_random_crop(rng):
         augment.random_point_cloud_crop(pts, 200)
 
 
+def test_assert_finite():
+    from tumseg.utils.debug import assert_finite, finite_fraction
+
+    assert_finite({"a": np.ones(3)}, "ok")
+    with pytest.raises(FloatingPointError):
+        assert_finite({"a": np.array([1.0, np.nan])}, "bad")
+    assert finite_fraction(np.array([1.0, np.inf])) == 0.5
+
+
+def test_nan_guard():
+    from tumseg.utils.debug import NanGuard
+
+    class FakeEngine:
+        def train_batch(self, *a):
+            return np.float32("nan"), 0
+
+    g = NanGuard(FakeEngine())
+    with pytest.raises(FloatingPointError):
+        g.train_batch(None, None, 0.1, 0.1)
+
+
 # ---- s3dis legacy utils ----
 
 def _room(rng, n=3000):
