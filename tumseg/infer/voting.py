@@ -89,10 +89,19 @@ class InferenceRunner:
                     log=print) -> np.ndarray:
         """Run ``num_votes`` re-blocked passes and return per-point labels
         for the whole scene [N_scene]."""
+        from concurrent.futures import ThreadPoolExecutor
+
         n_scene = dataset.semantic_labels_list[scene_idx].shape[0]
         pool = jnp.zeros((n_scene, self.num_classes), dtype=jnp.float32)
-        for _ in range(num_votes):
-            scene_data, scene_label, scene_smpw, scene_index = dataset[scene_idx]
+        # host re-blocking of the next vote overlaps device compute of the
+        # current one (the reference re-blocks synchronously every vote,
+        # sem_seg_testing.py:182-254 — the host-side hot path)
+        executor = ThreadPoolExecutor(max_workers=1)
+        fut = executor.submit(dataset.__getitem__, scene_idx)
+        for vote in range(num_votes):
+            scene_data, scene_label, scene_smpw, scene_index = fut.result()
+            if vote + 1 < num_votes:
+                fut = executor.submit(dataset.__getitem__, scene_idx)
             pred = self.predict_blocks(scene_data)
             if gt_weight_gate:
                 keep = (scene_smpw != 0) & ~np.isinf(scene_smpw)
@@ -100,6 +109,7 @@ class InferenceRunner:
                 keep = np.ones_like(scene_smpw, dtype=bool)
             pool = _scatter_votes(pool, jnp.asarray(scene_index.astype(np.int32)),
                                   jnp.asarray(pred), jnp.asarray(keep))
+        executor.shutdown(wait=False)
         return np.asarray(jnp.argmax(pool, axis=1))
 
 
