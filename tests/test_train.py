@@ -165,6 +165,47 @@ def test_fit_end_to_end(tmp_path, rng):
     assert any("IoU" in str(s) for s in logs)
 
 
+def test_shard_map_matches_single_device(rng):
+    """The sharded step (BN pmean + loss/grad psum over 8 virtual devices)
+    must reproduce the single-device step bit-for-tolerance on the same
+    global batch. pointnet (no dropout/FPS) keeps both paths deterministic."""
+    from tumseg.parallel import make_mesh
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    model = models.get_module("pointnet_sem_seg")
+    pts, target = _toy_batch(rng, B=8, N=64)
+
+    # SGD: linear in the gradient, so fp-level grad noise stays fp-level in
+    # the params (Adam would amplify near-zero-grad sign flips to +-lr)
+    single = TrainEngine(model, num_classes=4, train_weights=np.ones(4),
+                         optimizer="SGD", augment_rotate=False, seed=0)
+    single.init_state(jax.random.PRNGKey(0), num_extra_features=0)
+    sharded = TrainEngine(model, num_classes=4, train_weights=np.ones(4),
+                          optimizer="SGD", mesh=make_mesh(8),
+                          augment_rotate=False, seed=0)
+    sharded.init_state(jax.random.PRNGKey(0), num_extra_features=0)
+
+    l1, c1 = single.train_batch(pts, target, 1e-3, 0.1)
+    l2, c2 = sharded.train_batch(pts, target, 1e-3, 0.1)
+    np.testing.assert_allclose(float(l1), float(l2), rtol=1e-5)
+    assert int(c1) == int(c2)
+    # psum reassociates big reductions, so grads differ at the 1e-4 level;
+    # a collective-wiring bug would be orders of magnitude larger
+    for a, b in zip(jax.tree_util.tree_leaves(single.params),
+                    jax.tree_util.tree_leaves(sharded.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=5e-4)
+    for a, b in zip(jax.tree_util.tree_leaves(single.batch_stats),
+                    jax.tree_util.tree_leaves(sharded.batch_stats)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-4)
+
+    el1, t1 = single.eval_batch(pts, target)
+    el2, t2 = sharded.eval_batch(pts, target)
+    np.testing.assert_allclose(float(el1), float(el2), rtol=1e-5)
+    for k in t1:
+        np.testing.assert_array_equal(np.asarray(t1[k]), np.asarray(t2[k]))
+
+
 def test_train_engine_on_mesh(rng):
     from tumseg.parallel import make_mesh
 

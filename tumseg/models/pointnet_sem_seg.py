@@ -32,7 +32,8 @@ def init(key, num_classes: int, num_extra_features: int) -> Dict:
 
 
 def apply(variables: Dict, x: jnp.ndarray, *, training: bool = False,
-          bn_momentum=0.1, rngs: Optional[Dict] = None, compute_dtype=None):
+          bn_momentum=0.1, rngs: Optional[Dict] = None, compute_dtype=None,
+          axis_name=None):
     """x [B, N, 6+extra] -> (log_probs [B, N, k], trans_feat [B, 64, 64],
     new_batch_stats)."""
     params, stats = variables["params"], variables["batch_stats"]
@@ -40,12 +41,12 @@ def apply(variables: Dict, x: jnp.ndarray, *, training: bool = False,
     h, _trans, trans_feat, new_stats["feat"] = L.pointnet_encoder(
         params["feat"], stats["feat"], x, global_feat=False,
         feature_transform=True, training=training, momentum=bn_momentum,
-        compute_dtype=compute_dtype)
+        compute_dtype=compute_dtype, axis_name=axis_name)
     for i in range(1, 4):
         h = L.dense(params[f"conv{i}"], h, compute_dtype=compute_dtype)
         h, new_stats[f"bn{i}"] = L.batch_norm(
             params[f"bn{i}"], stats[f"bn{i}"], h, training=training,
-            momentum=bn_momentum)
+            momentum=bn_momentum, axis_name=axis_name)
         h = jax.nn.relu(h)
     h = L.dense(params["conv4"], h, compute_dtype=compute_dtype)
     log_probs = jax.nn.log_softmax(h.astype(jnp.float32), axis=-1)
@@ -55,10 +56,16 @@ def apply(variables: Dict, x: jnp.ndarray, *, training: bool = False,
 MAT_DIFF_LOSS_SCALE = 0.001
 
 
-def loss(pred: jnp.ndarray, target: jnp.ndarray, trans_feat, weight):
+def loss(pred: jnp.ndarray, target: jnp.ndarray, trans_feat, weight,
+         axis_name=None):
     """NLL + 0.001 * feature-transform orthogonality regularizer
     (models/pointnet_sem_seg.py:36-45)."""
+    import jax
+
     C = pred.shape[-1]
-    nll = L.weighted_nll_loss(pred.reshape(-1, C), target.reshape(-1), weight)
+    nll = L.weighted_nll_loss(pred.reshape(-1, C), target.reshape(-1), weight,
+                              axis_name=axis_name)
     reg = L.feature_transform_regularizer(trans_feat)
+    if axis_name is not None:  # batch mean of the per-cloud norms, globally
+        reg = jax.lax.pmean(reg, axis_name)
     return nll + MAT_DIFF_LOSS_SCALE * reg

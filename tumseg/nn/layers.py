@@ -63,18 +63,29 @@ def batchnorm_init(dim: int) -> Tuple[Pytree, Pytree]:
 
 
 def batch_norm(params: Pytree, stats: Pytree, x: jnp.ndarray, *,
-               training: bool, momentum) -> Tuple[jnp.ndarray, Pytree]:
+               training: bool, momentum,
+               axis_name: Optional[str] = None) -> Tuple[jnp.ndarray, Pytree]:
     """Per-channel (last axis) batch norm with torch-compatible running-stat
-    updates. Returns (y, new_stats); stats pass through unchanged in eval."""
+    updates. Returns (y, new_stats); stats pass through unchanged in eval.
+
+    ``axis_name``: when running under shard_map with the batch sharded over
+    a mesh axis, pass its name — batch statistics are then pmean'd across
+    devices so sharded training matches single-device semantics exactly.
+    """
     eps = 1e-5
     x32 = x.astype(jnp.float32)
     reduce_axes = tuple(range(x.ndim - 1))
     if training:
         mean = jnp.mean(x32, axis=reduce_axes)
-        var = jnp.mean(jnp.square(x32), axis=reduce_axes) - jnp.square(mean)
+        sqmean = jnp.mean(jnp.square(x32), axis=reduce_axes)
         n = 1
         for a in reduce_axes:
             n *= x.shape[a]
+        if axis_name is not None:
+            mean = jax.lax.pmean(mean, axis_name)
+            sqmean = jax.lax.pmean(sqmean, axis_name)
+            n = n * jax.lax.axis_size(axis_name)  # static mesh size
+        var = sqmean - jnp.square(mean)
         unbiased = var * (n / max(n - 1, 1))
         new_stats = {
             "mean": (1.0 - momentum) * stats["mean"] + momentum * mean,
@@ -113,12 +124,14 @@ def mlp_stack_init(key, in_dim: int, dims: Sequence[int]) -> Tuple[List, List]:
 
 
 def mlp_stack(params: List, stats: List, x: jnp.ndarray, *, training: bool,
-              momentum, compute_dtype=None) -> Tuple[jnp.ndarray, List]:
+              momentum, compute_dtype=None,
+              axis_name=None) -> Tuple[jnp.ndarray, List]:
     new_stats = []
     for layer_p, layer_s in zip(params, stats):
         x = dense(layer_p["conv"], x, compute_dtype=compute_dtype)
         x, s = batch_norm(layer_p["bn"], layer_s, x,
-                          training=training, momentum=momentum)
+                          training=training, momentum=momentum,
+                          axis_name=axis_name)
         new_stats.append(s)
         x = jax.nn.relu(x)
     return x, new_stats
@@ -134,7 +147,8 @@ def set_abstraction_init(key, in_channel: int, mlp: Sequence[int]):
 
 def set_abstraction(params, stats, cfg: dict, xyz: jnp.ndarray,
                     points: Optional[jnp.ndarray], *, training: bool,
-                    momentum, fps_start=None, compute_dtype=None):
+                    momentum, fps_start=None, compute_dtype=None,
+                    axis_name=None):
     """SSG set abstraction (reference pointnet2_utils.py:161-202), but in
     channels-last: xyz [B, N, 3], points [B, N, D] ->
     (new_xyz [B, S, 3], new_points [B, S, mlp[-1]], new_stats).
@@ -149,7 +163,8 @@ def set_abstraction(params, stats, cfg: dict, xyz: jnp.ndarray,
             cfg["npoint"], cfg["radius"], cfg["nsample"], xyz, points,
             fps_start=fps_start)
     feat, new_stats = mlp_stack(params, stats, grouped, training=training,
-                                momentum=momentum, compute_dtype=compute_dtype)
+                                momentum=momentum, compute_dtype=compute_dtype,
+                                axis_name=axis_name)
     new_points = jnp.max(feat, axis=2)                      # max over K
     return new_xyz, new_points, new_stats
 
@@ -167,7 +182,8 @@ def set_abstraction_msg_init(key, npoint: int, radius_list, nsample_list,
 
 def set_abstraction_msg(params, stats, cfg: dict, xyz: jnp.ndarray,
                         points: Optional[jnp.ndarray], *, training: bool,
-                        momentum, fps_start=None, compute_dtype=None):
+                        momentum, fps_start=None, compute_dtype=None,
+                        axis_name=None):
     """MSG: one FPS, then per-radius ball-query + MLP + K-max, concatenated
     over scales on the channel axis."""
     S = cfg["npoint"]
@@ -183,7 +199,8 @@ def set_abstraction_msg(params, stats, cfg: dict, xyz: jnp.ndarray,
         else:
             grouped = grouped_xyz
         feat, s = mlp_stack(params[i], stats[i], grouped, training=training,
-                            momentum=momentum, compute_dtype=compute_dtype)
+                            momentum=momentum, compute_dtype=compute_dtype,
+                            axis_name=axis_name)
         outs.append(jnp.max(feat, axis=2))
         new_stats.append(s)
     return new_xyz, jnp.concatenate(outs, axis=-1), new_stats
@@ -194,7 +211,8 @@ def feature_propagation_init(key, in_channel: int, mlp: Sequence[int]):
 
 
 def feature_propagation(params, stats, xyz1, xyz2, points1, points2, *,
-                        training: bool, momentum, compute_dtype=None):
+                        training: bool, momentum, compute_dtype=None,
+                        axis_name=None):
     """3-NN inverse-distance interpolation + skip concat + pointwise MLP
     (reference pointnet2_utils.py:265-315), channels-last:
     xyz1 [B, N, 3], xyz2 [B, S, 3], points1 [B, N, D1]|None, points2 [B, S, D2].
@@ -210,7 +228,8 @@ def feature_propagation(params, stats, xyz1, xyz2, points1, points2, *,
     else:
         new_points = interpolated
     return mlp_stack(params, stats, new_points, training=training,
-                     momentum=momentum, compute_dtype=compute_dtype)
+                     momentum=momentum, compute_dtype=compute_dtype,
+                     axis_name=axis_name)
 
 
 # --------------------------------------------------------------------------
@@ -246,7 +265,7 @@ def stnkd_init(key, k: int = 64) -> Tuple[Pytree, Pytree]:
 
 
 def stn_apply(params, stats, x: jnp.ndarray, k: int, *, training: bool,
-              momentum, compute_dtype=None):
+              momentum, compute_dtype=None, axis_name=None):
     """x [B, N, C] -> transform [B, k, k]; returns (transform, new_stats)."""
     new_stats = {}
 
@@ -254,7 +273,7 @@ def stn_apply(params, stats, x: jnp.ndarray, k: int, *, training: bool,
         h = dense(params[name_conv], h, compute_dtype=compute_dtype)
         h, new_stats[name_bn] = batch_norm(
             params[name_bn], stats[name_bn], h, training=training,
-            momentum=momentum)
+            momentum=momentum, axis_name=axis_name)
         return jax.nn.relu(h)
 
     h = block("conv1", "bn1", x)
@@ -288,7 +307,7 @@ def pointnet_encoder_init(key, channel: int, feature_transform: bool = True):
 
 def pointnet_encoder(params, stats, x: jnp.ndarray, *, global_feat: bool,
                      feature_transform: bool, training: bool, momentum,
-                     compute_dtype=None):
+                     compute_dtype=None, axis_name=None):
     """PointNet encoder (reference pointnet_utils.py:88-133), channels-last.
 
     x [B, N, C] (C = 3 coords + extra feature channels).
@@ -300,7 +319,7 @@ def pointnet_encoder(params, stats, x: jnp.ndarray, *, global_feat: bool,
     new_stats = {}
     trans, new_stats["stn"] = stn_apply(
         params["stn"], stats["stn"], x, 3, training=training,
-        momentum=momentum, compute_dtype=compute_dtype)
+        momentum=momentum, compute_dtype=compute_dtype, axis_name=axis_name)
     coords, extra = x[..., :3], x[..., 3:]
     coords = jnp.einsum("bnc,bck->bnk", coords, trans,
                         preferred_element_type=jnp.float32,
@@ -309,13 +328,15 @@ def pointnet_encoder(params, stats, x: jnp.ndarray, *, global_feat: bool,
 
     h = dense(params["conv1"], h, compute_dtype=compute_dtype)
     h, new_stats["bn1"] = batch_norm(params["bn1"], stats["bn1"], h,
-                                     training=training, momentum=momentum)
+                                     training=training, momentum=momentum,
+                                     axis_name=axis_name)
     h = jax.nn.relu(h)
 
     if feature_transform:
         trans_feat, new_stats["fstn"] = stn_apply(
             params["fstn"], stats["fstn"], h, 64, training=training,
-            momentum=momentum, compute_dtype=compute_dtype)
+            momentum=momentum, compute_dtype=compute_dtype,
+            axis_name=axis_name)
         h = jnp.einsum("bnc,bck->bnk", h, trans_feat,
                        preferred_element_type=jnp.float32)
     else:
@@ -324,11 +345,13 @@ def pointnet_encoder(params, stats, x: jnp.ndarray, *, global_feat: bool,
     pointfeat = h
     h = dense(params["conv2"], h, compute_dtype=compute_dtype)
     h, new_stats["bn2"] = batch_norm(params["bn2"], stats["bn2"], h,
-                                     training=training, momentum=momentum)
+                                     training=training, momentum=momentum,
+                                     axis_name=axis_name)
     h = jax.nn.relu(h)
     h = dense(params["conv3"], h, compute_dtype=compute_dtype)
     h, new_stats["bn3"] = batch_norm(params["bn3"], stats["bn3"], h,
-                                     training=training, momentum=momentum)
+                                     training=training, momentum=momentum,
+                                     axis_name=axis_name)
     global_feat_vec = jnp.max(h, axis=1)                    # [B, 1024]
     if global_feat:
         return global_feat_vec, trans, trans_feat, new_stats
@@ -351,12 +374,19 @@ def feature_transform_regularizer(trans: jnp.ndarray) -> jnp.ndarray:
 # --------------------------------------------------------------------------
 
 def weighted_nll_loss(log_probs: jnp.ndarray, target: jnp.ndarray,
-                      weight: jnp.ndarray) -> jnp.ndarray:
+                      weight: jnp.ndarray, axis_name=None) -> jnp.ndarray:
     """torch.nn.functional.nll_loss(weight=...) semantics: per-sample loss
     -w[t] * logp[t], reduced as sum / sum(w[t]).
 
-    log_probs [M, C], target [M] int, weight [C].
+    log_probs [M, C], target [M] int, weight [C]. With ``axis_name`` the
+    numerator and denominator are psum'd over the mesh axis so a sharded
+    batch yields the exact global loss.
     """
     w = weight[target]
     picked = jnp.take_along_axis(log_probs, target[:, None], axis=1)[:, 0]
-    return -jnp.sum(w * picked) / jnp.sum(w)
+    num = jnp.sum(w * picked)
+    den = jnp.sum(w)
+    if axis_name is not None:
+        num = jax.lax.psum(num, axis_name)
+        den = jax.lax.psum(den, axis_name)
+    return -num / den

@@ -67,13 +67,21 @@ def query_ball_point(radius, nsample, xyz, new_xyz):
     return _xla.query_ball_point(radius, nsample, xyz, new_xyz)
 
 
+# Size thresholds below which the XLA composition beats the Pallas kernel
+# (per-program overhead dominates at the small SA/FP stages; measured in
+# benchmarks/micro.py on v5e).
+_THREE_NN_PALLAS_MIN = 1 << 20    # N * S
+_GROUP_PALLAS_MIN = 3 * 10 ** 7   # S * K * N
+
+
 def sample_and_group(npoint, radius, nsample, xyz, points, fps_start=None):
     import jax.numpy as jnp
 
     fps_idx = farthest_point_sample(xyz, npoint, start=fps_start)
     new_xyz = index_points(xyz, fps_idx)
     idx = query_ball_point(radius, nsample, xyz, new_xyz)
-    if _use_pallas():
+    N = xyz.shape[1]
+    if _use_pallas() and npoint * nsample * N >= _GROUP_PALLAS_MIN:
         try:
             src = (jnp.concatenate([xyz, points], axis=-1)
                    if points is not None else xyz)
@@ -91,7 +99,7 @@ def sample_and_group(npoint, radius, nsample, xyz, points, fps_start=None):
 
 
 def three_nn_dispatch(xyz1, xyz2):
-    if _use_pallas():
+    if _use_pallas() and xyz1.shape[1] * xyz2.shape[1] >= _THREE_NN_PALLAS_MIN:
         try:
             return _pallas().three_nn(xyz1, xyz2)
         except NotImplementedError:
@@ -103,7 +111,7 @@ def three_interpolate(xyz1, xyz2, points2):
     import jax.numpy as jnp
 
     dists, idx = three_nn_dispatch(xyz1, xyz2)
-    if _use_pallas():
+    if _use_pallas() and xyz1.shape[1] * xyz2.shape[1] >= _THREE_NN_PALLAS_MIN:
         try:
             dist_recip = 1.0 / (dists + 1e-8)
             weight = dist_recip / jnp.sum(dist_recip, axis=2, keepdims=True)

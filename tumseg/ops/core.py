@@ -68,9 +68,14 @@ def farthest_point_sample(xyz: jnp.ndarray, npoint: int,
     ``None`` (index 0) for deterministic eval.
     """
     B, N, _ = xyz.shape
+    # Derive all carries from xyz so that under shard_map their
+    # varying-manual-axes type matches the loop body's output (a plain
+    # jnp.zeros carry is device-invariant and trips check_vma).
+    zero_b = jnp.zeros_like(xyz[:, 0, 0]).astype(jnp.int32)     # [B]
     if start is None:
-        start = jnp.zeros((B,), dtype=jnp.int32)
-    start = start.astype(jnp.int32)
+        start = zero_b
+    else:
+        start = start.astype(jnp.int32) + zero_b
 
     def body(i, state):
         distance, farthest, centroids = state
@@ -82,8 +87,8 @@ def farthest_point_sample(xyz: jnp.ndarray, npoint: int,
         farthest = jnp.argmax(distance, axis=-1).astype(jnp.int32)
         return distance, farthest, centroids
 
-    distance0 = jnp.full((B, N), 1e10, dtype=jnp.float32)
-    centroids0 = jnp.zeros((B, npoint), dtype=jnp.int32)
+    distance0 = jnp.full_like(xyz[..., 0], 1e10).astype(jnp.float32)
+    centroids0 = jnp.zeros((B, npoint), dtype=jnp.int32) + zero_b[:, None]
     _, _, centroids = lax.fori_loop(0, npoint, body, (distance0, start, centroids0))
     return centroids
 

@@ -38,7 +38,8 @@ def _group_fwd_kernel(idx_row_ref, srcT_ref, centerT_ref, outT_ref):
     niota = lax.broadcasted_iota(jnp.int32, (N, R), dimension=0)
     onehot_t = (niota == idx_row).astype(jnp.float32)        # [N, R]
     gathered = jnp.dot(srcT_ref[0, :, :], onehot_t,
-                       preferred_element_type=jnp.float32)   # [C, R]
+                       preferred_element_type=jnp.float32,
+                       precision=lax.Precision.HIGHEST)      # [C, R]
     riota = lax.broadcasted_iota(jnp.int32, (C, R), dimension=0)
     center = jnp.zeros((C, R), dtype=jnp.float32)
     for c in range(3):  # channels 0-2 become center-relative
@@ -59,7 +60,8 @@ def _group_bwd_kernel(idx_col_ref, gT_ref, dsrcT_ref):
     col = lax.broadcasted_iota(jnp.int32, (R, N), dimension=1)
     onehot = (col == idx_col_ref[0, :, :]).astype(jnp.float32)  # [R, N]
     dsrcT_ref[0, :, :] += jnp.dot(gT_ref[0, :, :], onehot,
-                                  preferred_element_type=jnp.float32)
+                                  preferred_element_type=jnp.float32,
+                                  precision=lax.Precision.HIGHEST)
 
 
 def _r_tile(R_total: int) -> int:

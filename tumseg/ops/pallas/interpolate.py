@@ -41,7 +41,8 @@ def _build_w(idx_ref, w_ref, S: int):
 def _interp_fwd_kernel(S: int, idx_ref, w_ref, p2_ref, out_ref):
     W = _build_w(idx_ref, w_ref, S)
     out_ref[0, :, :] = jnp.dot(W, p2_ref[0, :, :],
-                               preferred_element_type=jnp.float32)
+                               preferred_element_type=jnp.float32,
+                               precision=lax.Precision.HIGHEST)
 
 
 def _interp_bwd_kernel(S: int, idx_ref, w_ref, g_ref, dp2_ref):
@@ -53,7 +54,8 @@ def _interp_bwd_kernel(S: int, idx_ref, w_ref, g_ref, dp2_ref):
 
     W = _build_w(idx_ref, w_ref, S)                      # [N_t, S]
     dp2_ref[0, :, :] += jnp.dot(W.T, g_ref[0, :, :],
-                                preferred_element_type=jnp.float32)
+                                preferred_element_type=jnp.float32,
+                                precision=lax.Precision.HIGHEST)
 
 
 def _tiles(N: int):

@@ -44,7 +44,8 @@ def _threenn_kernel(s_total: int, q_ref, src_ref, splane_ref, dist_out_ref,
     sz = splane_ref[0, 2, :]
     ssq = (sx * sx + sy * sy + sz * sz)[None, :]         # [1, S] (lane axis)
     cross = lax.dot_general(q, s, (((1,), (1,)), ((), ())),
-                            preferred_element_type=jnp.float32)
+                            preferred_element_type=jnp.float32,
+                            precision=lax.Precision.HIGHEST)
     dist_ref[:, :] = qsq + ssq - 2.0 * cross
 
     dacc = jnp.zeros((N_t, 3), dtype=jnp.float32)

@@ -78,9 +78,13 @@ class TrainEngine:
         self._batch_sharding = (pmesh.batch_sharding(mesh)
                                 if mesh is not None else None)
         self._step_count = 0
+        axis = pmesh.DATA_AXIS if mesh is not None else None
 
         def train_step(params, batch_stats, opt_state, points, target, lr,
                        momentum, key):
+            if axis is not None:
+                # per-device RNG streams for augmentation/dropout/FPS
+                key = jax.random.fold_in(key, jax.lax.axis_index(axis))
             krot, kdrop, kfps = jax.random.split(key, 3)
             if self.augment_rotate:
                 rotated = augment.jrotate_z(krot, points[..., :3])
@@ -91,30 +95,62 @@ class TrainEngine:
                     {"params": p, "batch_stats": batch_stats}, points,
                     training=True, bn_momentum=momentum,
                     rngs={"dropout": kdrop, "fps": kfps},
-                    compute_dtype=compute_dtype)
-                loss = model.loss(logp, target, aux, self.weights)
+                    compute_dtype=compute_dtype, axis_name=axis)
+                loss = model.loss(logp, target, aux, self.weights,
+                                  axis_name=axis)
                 return loss, (new_stats, logp)
 
             (loss, (new_stats, logp)), grads = jax.value_and_grad(
                 loss_fn, has_aux=True)(params)
+            # Under shard_map with replication checking, the loss is made
+            # device-invariant by the psums inside loss_fn, and jax's
+            # autodiff inserts the cross-device gradient reduction for the
+            # replicated params itself — an explicit psum here would
+            # double-count by the mesh size.
             updates, new_opt_state = self.tx.update(grads, opt_state, params)
             updates = jax.tree_util.tree_map(lambda u: u * lr, updates)
             new_params = optax.apply_updates(params, updates)
             pred = jnp.argmax(logp, axis=-1)
             correct = jnp.sum((pred == target).astype(jnp.int32))
+            if axis is not None:
+                correct = jax.lax.psum(correct, axis)
             return new_params, new_stats, new_opt_state, loss, correct
 
         def eval_step(params, batch_stats, points, target):
             logp, aux, _ = model.apply(
                 {"params": params, "batch_stats": batch_stats}, points,
                 training=False, compute_dtype=compute_dtype)
-            loss = model.loss(logp, target, aux, self.weights)
+            loss = model.loss(logp, target, aux, self.weights, axis_name=axis)
             pred = jnp.argmax(logp, axis=-1)
             tallies = M.confusion_tallies(pred, target, num_classes)
+            if axis is not None:
+                tallies = jax.tree_util.tree_map(
+                    lambda t: jax.lax.psum(t, axis), tallies)
             return loss, tallies
 
-        self._train_step = jax.jit(train_step, donate_argnums=(0, 1, 2))
-        self._eval_step = jax.jit(eval_step)
+        if mesh is not None:
+            # shard_map: batch sharded over the data axis, state replicated;
+            # collectives (BN pmean, loss/grad psum) are explicit above. This
+            # is also the correct SPMD wrapper for the Pallas kernels, which
+            # otherwise have no GSPMD partitioning rules.
+            from jax.sharding import PartitionSpec as P
+
+            P_b = P(pmesh.DATA_AXIS)
+            train_sharded = jax.shard_map(
+                train_step, mesh=mesh,
+                in_specs=(P(), P(), P(), P_b, P_b, P(), P(), P()),
+                out_specs=(P(), P(), P(), P(), P()),
+                check_vma=True)
+            eval_sharded = jax.shard_map(
+                eval_step, mesh=mesh,
+                in_specs=(P(), P(), P_b, P_b),
+                out_specs=(P(), P()),
+                check_vma=True)
+            self._train_step = jax.jit(train_sharded, donate_argnums=(0, 1, 2))
+            self._eval_step = jax.jit(eval_sharded)
+        else:
+            self._train_step = jax.jit(train_step, donate_argnums=(0, 1, 2))
+            self._eval_step = jax.jit(eval_step)
 
     # -- state management ---------------------------------------------------
 
