@@ -16,7 +16,7 @@ from tumseg.cli.common import make_logger
 from tumseg.data.dataset import TestGridDataset
 from tumseg.data.features import GEO_FEATURE_NAMES, attach_geofeatures
 from tumseg.infer import InferenceRunner, run_testing
-from tumseg.utils.labels import CLASSES_18, CLASSES_8, class_tables
+from tumseg.utils.labels import class_tables
 from tumseg.utils.timing import current_time, time_print
 from tumseg import models
 from tumseg.train import checkpoint as ckpt

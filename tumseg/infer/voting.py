@@ -26,7 +26,7 @@ from __future__ import annotations
 
 import os
 from functools import partial
-from typing import Dict, Optional
+from typing import Dict
 
 import jax
 import jax.numpy as jnp

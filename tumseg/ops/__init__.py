@@ -9,7 +9,6 @@ backends and XLA elsewhere.
 from __future__ import annotations
 
 import os
-from typing import Optional
 
 import jax
 

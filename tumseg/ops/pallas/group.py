@@ -20,8 +20,6 @@ no parameter dependence upstream — same argument as threenn).
 
 from __future__ import annotations
 
-import functools
-
 import jax
 import jax.numpy as jnp
 from jax import lax

@@ -9,7 +9,6 @@ elements) and the renderers are vectorized NumPy.
 
 from __future__ import annotations
 
-import struct
 from typing import Dict, List, Tuple
 
 import numpy as np

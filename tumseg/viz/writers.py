@@ -3,7 +3,6 @@ matching the reference's outputs (localfunctions.py:424-459)."""
 
 from __future__ import annotations
 
-import os
 from typing import Dict, Optional
 
 import numpy as np
