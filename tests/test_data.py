@@ -122,6 +122,31 @@ def test_test_grid_copy_and_index_update(tiles):
     assert len(ds.labelweights) == 8
 
 
+def test_test_grid_save_load(tiles, tmp_path):
+    ds = TestGridDataset(las_file_list=tiles[:1], num_classes=8,
+                         block_points=512, seed=0)
+    p = str(tmp_path / "test_ds.pkl")
+    ds.save_data(p)
+    ds2 = TestGridDataset.load_data(p)
+    assert len(ds2) == 1
+    np.testing.assert_allclose(ds2.labelweights, ds.labelweights)
+    data, labels, smpw, pidx = ds2[0]
+    assert data.shape[1] == 512
+
+
+def test_batch_loader_propagates_worker_errors(tiles):
+    class Broken:
+        def __len__(self):
+            return 4
+
+        def __getitem__(self, i):
+            raise RuntimeError("boom")
+
+    loader = BatchLoader(Broken(), batch_size=2, num_workers=2)
+    with pytest.raises(RuntimeError, match="boom"):
+        list(loader)
+
+
 def test_batch_loader(tiles):
     ds = TrainBlockDataset(tiles, num_classes=8, num_point=256, seed=0)
     loader = BatchLoader(ds, batch_size=4, shuffle=True, drop_last=True,

@@ -9,7 +9,8 @@ from tumseg import models
 from tumseg.nn import layers as L
 
 
-@pytest.fixture(params=["pointnet2_sem_seg", "pointnet_sem_seg"])
+@pytest.fixture(params=["pointnet2_sem_seg", "pointnet2_sem_seg_msg",
+                        "pointnet_sem_seg"])
 def model(request):
     return models.get_module(request.param)
 

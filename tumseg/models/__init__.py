@@ -17,7 +17,7 @@ _ALIASES = {
     "pointnet_sem_seg_original": "pointnet_sem_seg",
 }
 
-AVAILABLE = ["pointnet2_sem_seg", "pointnet_sem_seg"]
+AVAILABLE = ["pointnet2_sem_seg", "pointnet2_sem_seg_msg", "pointnet_sem_seg"]
 
 
 def get_module(name: str) -> ModuleType:
