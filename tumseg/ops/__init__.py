@@ -49,7 +49,7 @@ def _pallas():
 
 
 def farthest_point_sample(xyz, npoint, start=None):
-    if _use_pallas():
+    if _use_pallas() and xyz.shape[1] * npoint >= _FPS_PALLAS_MIN:
         try:
             return _pallas().farthest_point_sample(xyz, npoint, start=start)
         except NotImplementedError:
@@ -58,7 +58,7 @@ def farthest_point_sample(xyz, npoint, start=None):
 
 
 def query_ball_point(radius, nsample, xyz, new_xyz):
-    if _use_pallas():
+    if _use_pallas() and xyz.shape[1] * new_xyz.shape[1] >= _BALLQUERY_PALLAS_MIN:
         try:
             return _pallas().query_ball_point(radius, nsample, xyz, new_xyz)
         except NotImplementedError:
@@ -71,6 +71,8 @@ def query_ball_point(radius, nsample, xyz, new_xyz):
 # benchmarks/micro.py on v5e).
 _THREE_NN_PALLAS_MIN = 1 << 20    # N * S
 _GROUP_PALLAS_MIN = 3 * 10 ** 7   # S * K * N
+_FPS_PALLAS_MIN = 4096            # N * npoint
+_BALLQUERY_PALLAS_MIN = 10 ** 4   # N * S
 
 
 def sample_and_group(npoint, radius, nsample, xyz, points, fps_start=None):

@@ -42,7 +42,7 @@ def _interp_fwd_kernel(S: int, idx_ref, w_ref, p2_ref, out_ref):
     W = _build_w(idx_ref, w_ref, S)
     out_ref[0, :, :] = jnp.dot(W, p2_ref[0, :, :],
                                preferred_element_type=jnp.float32,
-                               precision=lax.Precision.HIGHEST)
+                               precision=lax.Precision.HIGH)
 
 
 def _interp_bwd_kernel(S: int, idx_ref, w_ref, g_ref, dp2_ref):
@@ -55,7 +55,7 @@ def _interp_bwd_kernel(S: int, idx_ref, w_ref, g_ref, dp2_ref):
     W = _build_w(idx_ref, w_ref, S)                      # [N_t, S]
     dp2_ref[0, :, :] += jnp.dot(W.T, g_ref[0, :, :],
                                 preferred_element_type=jnp.float32,
-                                precision=lax.Precision.HIGHEST)
+                                precision=lax.Precision.HIGH)
 
 
 def _tiles(N: int):
