@@ -161,7 +161,7 @@ def set_abstraction(params, stats, cfg: dict, xyz: jnp.ndarray,
     else:
         new_xyz, grouped = ops.sample_and_group(
             cfg["npoint"], cfg["radius"], cfg["nsample"], xyz, points,
-            fps_start=fps_start)
+            fps_start=fps_start, fast_gather=compute_dtype is not None)
     feat, new_stats = mlp_stack(params, stats, grouped, training=training,
                                 momentum=momentum, compute_dtype=compute_dtype,
                                 axis_name=axis_name)
@@ -222,7 +222,8 @@ def feature_propagation(params, stats, xyz1, xyz2, points1, points2, *,
         interpolated = jnp.broadcast_to(
             points2, (points2.shape[0], xyz1.shape[1], points2.shape[2]))
     else:
-        interpolated = ops.three_interpolate(xyz1, xyz2, points2)
+        interpolated = ops.three_interpolate(
+            xyz1, xyz2, points2, fast_gather=compute_dtype is not None)
     if points1 is not None:
         new_points = jnp.concatenate([points1, interpolated], axis=-1)
     else:

@@ -75,7 +75,8 @@ _FPS_PALLAS_MIN = 4096            # N * npoint
 _BALLQUERY_PALLAS_MIN = 10 ** 4   # N * S
 
 
-def sample_and_group(npoint, radius, nsample, xyz, points, fps_start=None):
+def sample_and_group(npoint, radius, nsample, xyz, points, fps_start=None,
+                     fast_gather=False):
     import jax.numpy as jnp
 
     fps_idx = farthest_point_sample(xyz, npoint, start=fps_start)
@@ -86,7 +87,8 @@ def sample_and_group(npoint, radius, nsample, xyz, points, fps_start=None):
         try:
             src = (jnp.concatenate([xyz, points], axis=-1)
                    if points is not None else xyz)
-            return new_xyz, _pallas().group_points(idx, src, new_xyz)
+            return new_xyz, _pallas().group_points(idx, src, new_xyz,
+                                                   fast=fast_gather)
         except NotImplementedError:
             pass
     grouped_xyz = index_points(xyz, idx)
@@ -108,7 +110,7 @@ def three_nn_dispatch(xyz1, xyz2):
     return _xla.three_nn(xyz1, xyz2)
 
 
-def three_interpolate(xyz1, xyz2, points2):
+def three_interpolate(xyz1, xyz2, points2, fast_gather=False):
     import jax.numpy as jnp
 
     dists, idx = three_nn_dispatch(xyz1, xyz2)
@@ -116,7 +118,8 @@ def three_interpolate(xyz1, xyz2, points2):
         try:
             dist_recip = 1.0 / (dists + 1e-8)
             weight = dist_recip / jnp.sum(dist_recip, axis=2, keepdims=True)
-            return _pallas().weighted_interpolate(idx, weight, points2)
+            return _pallas().weighted_interpolate(idx, weight, points2,
+                                                  fast=fast_gather)
         except NotImplementedError:
             pass
     return _xla.interpolate_weighted(dists, idx, points2)

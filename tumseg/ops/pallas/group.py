@@ -29,18 +29,18 @@ from jax.experimental.pallas import tpu as pltpu
 _R_TILE = 512
 
 
-def _group_fwd_kernel(idx_row_ref, srcT_ref, centerT_ref, outT_ref):
+def _group_fwd_kernel(precision, idx_row_ref, srcT_ref, centerT_ref, outT_ref):
     C, N = srcT_ref.shape[1], srcT_ref.shape[2]
     R = idx_row_ref.shape[2]
     idx_row = idx_row_ref[0, 0, :][None, :]                  # [1, R] lanes
     niota = lax.broadcasted_iota(jnp.int32, (N, R), dimension=0)
     onehot_t = (niota == idx_row).astype(jnp.float32)        # [N, R]
+    # HIGH (bf16_3x) reconstructs all 24 f32 mantissa bits — exact for a
+    # one-hot contraction; DEFAULT (single-pass bf16) is used in bf16
+    # compute mode where the consumer rounds to bf16 anyway.
     gathered = jnp.dot(srcT_ref[0, :, :], onehot_t,
-                       # bf16_3x reconstructs all 24 f32 mantissa bits —
-                       # exact for a one-hot contraction, ~40% cheaper than
-                       # the 6-pass fp32 mode
                        preferred_element_type=jnp.float32,
-                       precision=lax.Precision.HIGH)         # [C, R]
+                       precision=precision)                  # [C, R]
     riota = lax.broadcasted_iota(jnp.int32, (C, R), dimension=0)
     center = jnp.zeros((C, R), dtype=jnp.float32)
     for c in range(3):  # channels 0-2 become center-relative
@@ -49,7 +49,7 @@ def _group_fwd_kernel(idx_row_ref, srcT_ref, centerT_ref, outT_ref):
     outT_ref[0, :, :] = gathered - center
 
 
-def _group_bwd_kernel(idx_col_ref, gT_ref, dsrcT_ref):
+def _group_bwd_kernel(precision, idx_col_ref, gT_ref, dsrcT_ref):
     j = pl.program_id(1)
 
     @pl.when(j == 0)
@@ -62,7 +62,7 @@ def _group_bwd_kernel(idx_col_ref, gT_ref, dsrcT_ref):
     onehot = (col == idx_col_ref[0, :, :]).astype(jnp.float32)  # [R, N]
     dsrcT_ref[0, :, :] += jnp.dot(gT_ref[0, :, :], onehot,
                                   preferred_element_type=jnp.float32,
-                                  precision=lax.Precision.HIGH)
+                                  precision=precision)
 
 
 def _r_tile(R_total: int) -> int:
@@ -72,13 +72,15 @@ def _r_tile(R_total: int) -> int:
     return max(r, 1)
 
 
-def _group_t_impl(idx_col, idx_row, srcT, centerT):
+def _group_t_impl(idx_col, idx_row, srcT, centerT, precision):
+    import functools
+
     B, C, N = srcT.shape
     R_total = idx_row.shape[2]
     r = _r_tile(R_total)
     grid = (B, R_total // r)
     return pl.pallas_call(
-        _group_fwd_kernel,
+        functools.partial(_group_fwd_kernel, precision),
         grid=grid,
         in_specs=[
             pl.BlockSpec((1, 1, r), lambda i, j: (i, 0, j),
@@ -94,12 +96,14 @@ def _group_t_impl(idx_col, idx_row, srcT, centerT):
     )(idx_row, srcT, centerT)
 
 
-def _group_t_bwd_impl(idx_col, gT, N: int):
+def _group_t_bwd_impl(idx_col, gT, N: int, precision):
+    import functools
+
     B, C, R_total = gT.shape
     r = _r_tile(R_total)
     grid = (B, R_total // r)
     return pl.pallas_call(
-        _group_bwd_kernel,
+        functools.partial(_group_bwd_kernel, precision),
         grid=grid,
         in_specs=[
             pl.BlockSpec((1, r, 1), lambda i, j: (i, j, 0),
@@ -113,29 +117,35 @@ def _group_t_bwd_impl(idx_col, gT, N: int):
     )(idx_col, gT)
 
 
-@jax.custom_vjp
-def _group_t(idx_col, idx_row, srcT, centerT):
-    return _group_t_impl(idx_col, idx_row, srcT, centerT)
+def _make_group_t(precision):
+    @jax.custom_vjp
+    def _group_t(idx_col, idx_row, srcT, centerT):
+        return _group_t_impl(idx_col, idx_row, srcT, centerT, precision)
+
+    def _gt_fwd(idx_col, idx_row, srcT, centerT):
+        out = _group_t_impl(idx_col, idx_row, srcT, centerT, precision)
+        return out, (idx_col, srcT.shape[2], centerT)
+
+    def _gt_bwd(res, g):
+        idx_col, N, centerT = res
+        dsrcT = _group_t_bwd_impl(idx_col, g, N, precision)
+        return None, None, dsrcT, jnp.zeros_like(centerT)
+
+    _group_t.defvjp(_gt_fwd, _gt_bwd)
+    return _group_t
 
 
-def _gt_fwd(idx_col, idx_row, srcT, centerT):
-    out = _group_t_impl(idx_col, idx_row, srcT, centerT)
-    return out, (idx_col, srcT.shape[2], centerT)
+_GROUP_T = {
+    "high": _make_group_t(lax.Precision.HIGH),
+    "default": _make_group_t(lax.Precision.DEFAULT),
+}
 
 
-def _gt_bwd(res, g):
-    idx_col, N, centerT = res
-    dsrcT = _group_t_bwd_impl(idx_col, g, N)
-    return None, None, dsrcT, jnp.zeros_like(centerT)
-
-
-_group_t.defvjp(_gt_fwd, _gt_bwd)
-
-
-def group_points(idx: jnp.ndarray, src: jnp.ndarray,
-                 new_xyz: jnp.ndarray) -> jnp.ndarray:
+def group_points(idx: jnp.ndarray, src: jnp.ndarray, new_xyz: jnp.ndarray,
+                 fast: bool = False) -> jnp.ndarray:
     """idx [B,S,K] int, src [B,N,3+D] (xyz first), new_xyz [B,S,3]
-    -> grouped [B,S,K,3+D] with channels 0-2 center-relative."""
+    -> grouped [B,S,K,3+D] with channels 0-2 center-relative.
+    ``fast`` selects single-pass bf16 contraction for bf16 compute mode."""
     B, S, K = idx.shape
     C = src.shape[2]
     R = S * K
@@ -144,5 +154,6 @@ def group_points(idx: jnp.ndarray, src: jnp.ndarray,
     centerT = jnp.transpose(
         jnp.broadcast_to(new_xyz[:, :, None, :], (B, S, K, 3)
                          ).reshape(B, R, 3).astype(jnp.float32), (0, 2, 1))
-    outT = _group_t(idx_flat[:, :, None], idx_flat[:, None, :], srcT, centerT)
+    group_t = _GROUP_T["default" if fast else "high"]
+    outT = group_t(idx_flat[:, :, None], idx_flat[:, None, :], srcT, centerT)
     return jnp.transpose(outT.reshape(B, C, S, K), (0, 2, 3, 1))

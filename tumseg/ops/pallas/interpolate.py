@@ -38,14 +38,14 @@ def _build_w(idx_ref, w_ref, S: int):
     return w
 
 
-def _interp_fwd_kernel(S: int, idx_ref, w_ref, p2_ref, out_ref):
+def _interp_fwd_kernel(S: int, precision, idx_ref, w_ref, p2_ref, out_ref):
     W = _build_w(idx_ref, w_ref, S)
     out_ref[0, :, :] = jnp.dot(W, p2_ref[0, :, :],
                                preferred_element_type=jnp.float32,
-                               precision=lax.Precision.HIGH)
+                               precision=precision)
 
 
-def _interp_bwd_kernel(S: int, idx_ref, w_ref, g_ref, dp2_ref):
+def _interp_bwd_kernel(S: int, precision, idx_ref, w_ref, g_ref, dp2_ref):
     j = pl.program_id(1)
 
     @pl.when(j == 0)
@@ -55,7 +55,7 @@ def _interp_bwd_kernel(S: int, idx_ref, w_ref, g_ref, dp2_ref):
     W = _build_w(idx_ref, w_ref, S)                      # [N_t, S]
     dp2_ref[0, :, :] += jnp.dot(W.T, g_ref[0, :, :],
                                 preferred_element_type=jnp.float32,
-                                precision=lax.Precision.HIGH)
+                                precision=precision)
 
 
 def _tiles(N: int):
@@ -66,12 +66,12 @@ def _tiles(N: int):
 
 
 def _interp_impl(idx: jnp.ndarray, weight: jnp.ndarray,
-                 points2: jnp.ndarray) -> jnp.ndarray:
+                 points2: jnp.ndarray, precision) -> jnp.ndarray:
     B, N, _ = idx.shape
     S, D = points2.shape[1], points2.shape[2]
     n_tile = _tiles(N)
     grid = (B, N // n_tile)
-    kernel = functools.partial(_interp_fwd_kernel, S)
+    kernel = functools.partial(_interp_fwd_kernel, S, precision)
     return pl.pallas_call(
         kernel,
         grid=grid,
@@ -90,12 +90,12 @@ def _interp_impl(idx: jnp.ndarray, weight: jnp.ndarray,
       points2.astype(jnp.float32))
 
 
-def _interp_bwd_impl(idx, weight, g, S: int):
+def _interp_bwd_impl(idx, weight, g, S: int, precision):
     B, N, _ = idx.shape
     D = g.shape[2]
     n_tile = _tiles(N)
     grid = (B, N // n_tile)
-    kernel = functools.partial(_interp_bwd_kernel, S)
+    kernel = functools.partial(_interp_bwd_kernel, S, precision)
     return pl.pallas_call(
         kernel,
         grid=grid,
@@ -115,21 +115,33 @@ def _interp_bwd_impl(idx, weight, g, S: int):
       g.astype(jnp.float32))
 
 
-@jax.custom_vjp
+def _make_weighted_interpolate(precision):
+    @jax.custom_vjp
+    def _wi(idx, weight, points2):
+        return _interp_impl(idx, weight, points2, precision)
+
+    def _wi_fwd(idx, weight, points2):
+        return (_interp_impl(idx, weight, points2, precision),
+                (idx, weight, points2.shape[1]))
+
+    def _wi_bwd(res, g):
+        idx, weight, S = res
+        dp2 = _interp_bwd_impl(idx, weight, g, S, precision)
+        return None, jnp.zeros_like(weight), dp2
+
+    _wi.defvjp(_wi_fwd, _wi_bwd)
+    return _wi
+
+
+_WI = {
+    "high": _make_weighted_interpolate(lax.Precision.HIGH),
+    "default": _make_weighted_interpolate(lax.Precision.DEFAULT),
+}
+
+
 def weighted_interpolate(idx: jnp.ndarray, weight: jnp.ndarray,
-                         points2: jnp.ndarray) -> jnp.ndarray:
-    """idx [B,N,3] int, weight [B,N,3], points2 [B,S,D] -> [B,N,D]."""
-    return _interp_impl(idx, weight, points2)
-
-
-def _wi_fwd(idx, weight, points2):
-    return _interp_impl(idx, weight, points2), (idx, weight, points2.shape[1])
-
-
-def _wi_bwd(res, g):
-    idx, weight, S = res
-    dp2 = _interp_bwd_impl(idx, weight, g, S)
-    return None, jnp.zeros_like(weight), dp2
-
-
-weighted_interpolate.defvjp(_wi_fwd, _wi_bwd)
+                         points2: jnp.ndarray,
+                         fast: bool = False) -> jnp.ndarray:
+    """idx [B,N,3] int, weight [B,N,3], points2 [B,S,D] -> [B,N,D].
+    ``fast`` selects single-pass bf16 contraction for bf16 compute mode."""
+    return _WI["default" if fast else "high"](idx, weight, points2)
