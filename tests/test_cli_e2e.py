@@ -62,6 +62,60 @@ def test_train_then_test_cli(workspace, monkeypatch):
     assert (workspace / "log" / "sem_seg" / "run1" / "eval.txt").exists()
 
 
+def test_train_with_las_extra_features(tmp_path, monkeypatch):
+    """--extra_features resolves named CloudCompare-style scalar fields from
+    the LAS Extra Bytes VLR (reference sem_seg_training.py:150-153)."""
+    from tumseg.cli import train as train_cli
+
+    data_dir = tmp_path / "data"
+    data_dir.mkdir()
+    r = np.random.default_rng(1)
+    for name in ["a.las", "b.las", "t.las"]:
+        n = 9000
+        xyz = np.stack([r.uniform(0, 3, n), r.uniform(0, 2, n),
+                        r.uniform(0, 4, n)], 1)
+        labels = r.choice([1, 2, 3, 7], n)
+        write_las(str(data_dir / name), xyz, labels,
+                  extra={"Planarity": r.random(n).astype(np.float32)})
+    monkeypatch.chdir(tmp_path)
+    args = train_cli.parse_args([
+        "--rootdir", str(data_dir), "--test_area", "t.las",
+        "--model", "pointnet_sem_seg", "--class8", "--RGB_OFF",
+        "--extra_features", "Planarity",
+        "--exp_dir", str(tmp_path / "log"), "--log_dir", "ef",
+        "--seed", "0", "--epoch", "1", "--batch_size", "4",
+        "--npoint", "128"])
+    acc, _, _ = train_cli.main(args)
+    assert len(acc) == 1
+
+
+def test_train_with_computed_geometry(tmp_path, monkeypatch):
+    """--calculate_geometry computes scipy PCA features per room (the
+    reference's broken geofunction path, fixed)."""
+    from tumseg.cli import train as train_cli
+
+    data_dir = tmp_path / "data"
+    data_dir.mkdir()
+    r = np.random.default_rng(2)
+    for name in ["a.las", "b.las", "t.las"]:
+        n = 6000
+        xyz = np.stack([r.uniform(0, 2, n), r.uniform(0, 1.5, n),
+                        r.uniform(0, 2, n)], 1)
+        labels = r.choice([1, 2, 3, 7], n)
+        write_las(str(data_dir / name), xyz, labels)
+    monkeypatch.chdir(tmp_path)
+    args = train_cli.parse_args([
+        "--rootdir", str(data_dir), "--test_area", "t.las",
+        "--model", "pointnet_sem_seg", "--class8", "--RGB_OFF",
+        "--extra_features", "Planarity", "Omnivariance",
+        "--calculate_geometry", "1",
+        "--exp_dir", str(tmp_path / "log"), "--log_dir", "geo",
+        "--seed", "0", "--epoch", "1", "--batch_size", "4",
+        "--npoint", "128"])
+    acc, _, _ = train_cli.main(args)
+    assert len(acc) == 1
+
+
 def test_train_resume(workspace, monkeypatch):
     """Second invocation warm-starts from the saved best checkpoint."""
     from tumseg.cli import train as train_cli

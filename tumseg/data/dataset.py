@@ -198,8 +198,10 @@ class TrainBlockDataset:
         out.room_coord_min = list(self.room_coord_min)
         out.room_coord_max = list(self.room_coord_max)
         out.num_extra_features = self.num_extra_features
-        out.extra_features_data = self.extra_features_data
-        out.feature_name = self.feature_name
+        # fresh list containers so later per-split feature attachment
+        # (attach_geofeatures) cannot cross-pollute the other split
+        out.extra_features_data = [list(f) for f in self.extra_features_data]
+        out.feature_name = list(self.feature_name)
         if indices is not None:
             out.room_idxs = self.room_idxs[np.asarray(indices)]
         else:
