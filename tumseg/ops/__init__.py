@@ -68,9 +68,10 @@ def query_ball_point(radius, nsample, xyz, new_xyz):
 
 # Size thresholds below which the XLA composition beats the Pallas kernel
 # (per-program overhead dominates at the small SA/FP stages; measured in
-# benchmarks/micro.py on v5e).
+# benchmarks/micro.py on v5e). Gather-replacement kernels (group_points,
+# weighted_interpolate) have NO threshold: XLA dynamic gathers are the
+# pathology they exist to avoid, at every stage size.
 _THREE_NN_PALLAS_MIN = 1 << 20    # N * S
-_GROUP_PALLAS_MIN = 3 * 10 ** 7   # S * K * N
 _FPS_PALLAS_MIN = 4096            # N * npoint
 _BALLQUERY_PALLAS_MIN = 10 ** 4   # N * S
 
@@ -82,8 +83,7 @@ def sample_and_group(npoint, radius, nsample, xyz, points, fps_start=None,
     fps_idx = farthest_point_sample(xyz, npoint, start=fps_start)
     new_xyz = index_points(xyz, fps_idx)
     idx = query_ball_point(radius, nsample, xyz, new_xyz)
-    N = xyz.shape[1]
-    if _use_pallas() and npoint * nsample * N >= _GROUP_PALLAS_MIN:
+    if _use_pallas():
         try:
             src = (jnp.concatenate([xyz, points], axis=-1)
                    if points is not None else xyz)
@@ -114,7 +114,7 @@ def three_interpolate(xyz1, xyz2, points2, fast_gather=False):
     import jax.numpy as jnp
 
     dists, idx = three_nn_dispatch(xyz1, xyz2)
-    if _use_pallas() and xyz1.shape[1] * xyz2.shape[1] >= _THREE_NN_PALLAS_MIN:
+    if _use_pallas():
         try:
             dist_recip = 1.0 / (dists + 1e-8)
             weight = dist_recip / jnp.sum(dist_recip, axis=2, keepdims=True)
