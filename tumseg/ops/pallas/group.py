@@ -29,18 +29,30 @@ from jax.experimental.pallas import tpu as pltpu
 _R_TILE = 512
 
 
-def _group_fwd_kernel(precision, idx_row_ref, srcT_ref, centerT_ref, outT_ref):
+def _split3_dot(x, onehot, exact: bool):
+    """x @ onehot with a one-hot rhs. exact=True reconstructs all 24 f32
+    mantissa bits via a 3-way bf16 split (Mosaic supports only DEFAULT and
+    HIGHEST dot precisions; fp32-HIGHEST costs 6 passes, this costs 3);
+    exact=False is single-pass bf16 for bf16 compute mode."""
+    if not exact:
+        return jnp.dot(x, onehot, preferred_element_type=jnp.float32)
+    out = jnp.zeros((x.shape[0], onehot.shape[1]), dtype=jnp.float32)
+    rem = x
+    for _ in range(3):
+        part = rem.astype(jnp.bfloat16)
+        out = out + jnp.dot(part, onehot.astype(jnp.bfloat16),
+                            preferred_element_type=jnp.float32)
+        rem = rem - part.astype(jnp.float32)
+    return out
+
+
+def _group_fwd_kernel(exact, idx_row_ref, srcT_ref, centerT_ref, outT_ref):
     C, N = srcT_ref.shape[1], srcT_ref.shape[2]
     R = idx_row_ref.shape[2]
     idx_row = idx_row_ref[0, 0, :][None, :]                  # [1, R] lanes
     niota = lax.broadcasted_iota(jnp.int32, (N, R), dimension=0)
     onehot_t = (niota == idx_row).astype(jnp.float32)        # [N, R]
-    # HIGH (bf16_3x) reconstructs all 24 f32 mantissa bits — exact for a
-    # one-hot contraction; DEFAULT (single-pass bf16) is used in bf16
-    # compute mode where the consumer rounds to bf16 anyway.
-    gathered = jnp.dot(srcT_ref[0, :, :], onehot_t,
-                       preferred_element_type=jnp.float32,
-                       precision=precision)                  # [C, R]
+    gathered = _split3_dot(srcT_ref[0, :, :], onehot_t, exact)  # [C, R]
     riota = lax.broadcasted_iota(jnp.int32, (C, R), dimension=0)
     center = jnp.zeros((C, R), dtype=jnp.float32)
     for c in range(3):  # channels 0-2 become center-relative
@@ -49,7 +61,7 @@ def _group_fwd_kernel(precision, idx_row_ref, srcT_ref, centerT_ref, outT_ref):
     outT_ref[0, :, :] = gathered - center
 
 
-def _group_bwd_kernel(precision, idx_col_ref, gT_ref, dsrcT_ref):
+def _group_bwd_kernel(exact, idx_col_ref, gT_ref, dsrcT_ref):
     j = pl.program_id(1)
 
     @pl.when(j == 0)
@@ -60,9 +72,7 @@ def _group_bwd_kernel(precision, idx_col_ref, gT_ref, dsrcT_ref):
     R = idx_col_ref.shape[1]
     col = lax.broadcasted_iota(jnp.int32, (R, N), dimension=1)
     onehot = (col == idx_col_ref[0, :, :]).astype(jnp.float32)  # [R, N]
-    dsrcT_ref[0, :, :] += jnp.dot(gT_ref[0, :, :], onehot,
-                                  preferred_element_type=jnp.float32,
-                                  precision=precision)
+    dsrcT_ref[0, :, :] += _split3_dot(gT_ref[0, :, :], onehot, exact)
 
 
 def _r_tile(R_total: int) -> int:
@@ -72,7 +82,7 @@ def _r_tile(R_total: int) -> int:
     return max(r, 1)
 
 
-def _group_t_impl(idx_col, idx_row, srcT, centerT, precision):
+def _group_t_impl(idx_col, idx_row, srcT, centerT, exact):
     import functools
 
     B, C, N = srcT.shape
@@ -80,7 +90,7 @@ def _group_t_impl(idx_col, idx_row, srcT, centerT, precision):
     r = _r_tile(R_total)
     grid = (B, R_total // r)
     return pl.pallas_call(
-        functools.partial(_group_fwd_kernel, precision),
+        functools.partial(_group_fwd_kernel, exact),
         grid=grid,
         in_specs=[
             pl.BlockSpec((1, 1, r), lambda i, j: (i, 0, j),
@@ -96,14 +106,14 @@ def _group_t_impl(idx_col, idx_row, srcT, centerT, precision):
     )(idx_row, srcT, centerT)
 
 
-def _group_t_bwd_impl(idx_col, gT, N: int, precision):
+def _group_t_bwd_impl(idx_col, gT, N: int, exact):
     import functools
 
     B, C, R_total = gT.shape
     r = _r_tile(R_total)
     grid = (B, R_total // r)
     return pl.pallas_call(
-        functools.partial(_group_bwd_kernel, precision),
+        functools.partial(_group_bwd_kernel, exact),
         grid=grid,
         in_specs=[
             pl.BlockSpec((1, r, 1), lambda i, j: (i, j, 0),
@@ -117,18 +127,18 @@ def _group_t_bwd_impl(idx_col, gT, N: int, precision):
     )(idx_col, gT)
 
 
-def _make_group_t(precision):
+def _make_group_t(exact):
     @jax.custom_vjp
     def _group_t(idx_col, idx_row, srcT, centerT):
-        return _group_t_impl(idx_col, idx_row, srcT, centerT, precision)
+        return _group_t_impl(idx_col, idx_row, srcT, centerT, exact)
 
     def _gt_fwd(idx_col, idx_row, srcT, centerT):
-        out = _group_t_impl(idx_col, idx_row, srcT, centerT, precision)
+        out = _group_t_impl(idx_col, idx_row, srcT, centerT, exact)
         return out, (idx_col, srcT.shape[2], centerT)
 
     def _gt_bwd(res, g):
         idx_col, N, centerT = res
-        dsrcT = _group_t_bwd_impl(idx_col, g, N, precision)
+        dsrcT = _group_t_bwd_impl(idx_col, g, N, exact)
         return None, None, dsrcT, jnp.zeros_like(centerT)
 
     _group_t.defvjp(_gt_fwd, _gt_bwd)
@@ -136,8 +146,8 @@ def _make_group_t(precision):
 
 
 _GROUP_T = {
-    "high": _make_group_t(lax.Precision.HIGH),
-    "default": _make_group_t(lax.Precision.DEFAULT),
+    "high": _make_group_t(True),
+    "default": _make_group_t(False),
 }
 
 

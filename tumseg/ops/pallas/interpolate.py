@@ -134,7 +134,8 @@ def _make_weighted_interpolate(precision):
 
 
 _WI = {
-    "high": _make_weighted_interpolate(lax.Precision.HIGH),
+    # Mosaic supports only DEFAULT and HIGHEST dot precisions
+    "high": _make_weighted_interpolate(lax.Precision.HIGHEST),
     "default": _make_weighted_interpolate(lax.Precision.DEFAULT),
 }
 
