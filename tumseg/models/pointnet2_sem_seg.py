@@ -60,7 +60,7 @@ def init(key, num_classes: int, num_extra_features: int) -> Dict:
 
 def apply(variables: Dict, x: jnp.ndarray, *, training: bool = False,
           bn_momentum=0.1, rngs: Optional[Dict] = None,
-          compute_dtype=None, axis_name=None):
+          compute_dtype=None, axis_name=None, fast_gather=None):
     """Forward pass.
 
     x: [B, N, 6 + extra] channels-last (cols 0-2 block-relative xyz, 3-5
@@ -83,7 +83,8 @@ def apply(variables: Dict, x: jnp.ndarray, *, training: bool = False,
         nxyz, npts, new_stats[f"sa{i}"] = L.set_abstraction(
             params[f"sa{i}"], stats[f"sa{i}"], cfg, l_xyz[-1], l_points[-1],
             training=training, momentum=bn_momentum, fps_start=fps_start,
-            compute_dtype=compute_dtype, axis_name=axis_name)
+            compute_dtype=compute_dtype, axis_name=axis_name,
+            fast_gather=fast_gather)
         l_xyz.append(nxyz)
         l_points.append(npts)
 
@@ -94,7 +95,8 @@ def apply(variables: Dict, x: jnp.ndarray, *, training: bool = False,
         feat, new_stats[f"fp{i}"] = L.feature_propagation(
             params[f"fp{i}"], stats[f"fp{i}"], l_xyz[lvl], l_xyz[lvl + 1],
             skip, feat, training=training, momentum=bn_momentum,
-            compute_dtype=compute_dtype, axis_name=axis_name)
+            compute_dtype=compute_dtype, axis_name=axis_name,
+            fast_gather=fast_gather)
 
     h = L.dense(params["conv1"], feat, compute_dtype=compute_dtype)
     h, new_stats["bn1"] = L.batch_norm(params["bn1"], stats["bn1"], h,

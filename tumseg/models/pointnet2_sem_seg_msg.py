@@ -59,7 +59,7 @@ def init(key, num_classes: int, num_extra_features: int) -> Dict:
 
 def apply(variables: Dict, x: jnp.ndarray, *, training: bool = False,
           bn_momentum=0.1, rngs: Optional[Dict] = None, compute_dtype=None,
-          axis_name=None):
+          axis_name=None, fast_gather=None):
     """x [B, N, 6+extra] -> (log_probs [B, N, C], l4_points, new_stats)."""
     params, stats = variables["params"], variables["batch_stats"]
     new_stats: Dict = {}
@@ -76,7 +76,8 @@ def apply(variables: Dict, x: jnp.ndarray, *, training: bool = False,
         nxyz, npts, new_stats[f"sa{i}"] = L.set_abstraction_msg(
             params[f"sa{i}"], stats[f"sa{i}"], cfg, l_xyz[-1], l_points[-1],
             training=training, momentum=bn_momentum, fps_start=fps_start,
-            compute_dtype=compute_dtype, axis_name=axis_name)
+            compute_dtype=compute_dtype, axis_name=axis_name,
+            fast_gather=fast_gather)
         l_xyz.append(nxyz)
         l_points.append(npts)
 
@@ -86,7 +87,8 @@ def apply(variables: Dict, x: jnp.ndarray, *, training: bool = False,
         feat, new_stats[f"fp{i}"] = L.feature_propagation(
             params[f"fp{i}"], stats[f"fp{i}"], l_xyz[lvl], l_xyz[lvl + 1],
             skip, feat, training=training, momentum=bn_momentum,
-            compute_dtype=compute_dtype, axis_name=axis_name)
+            compute_dtype=compute_dtype, axis_name=axis_name,
+            fast_gather=fast_gather)
 
     h = L.dense(params["conv1"], feat, compute_dtype=compute_dtype)
     h, new_stats["bn1"] = L.batch_norm(params["bn1"], stats["bn1"], h,

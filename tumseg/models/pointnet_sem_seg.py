@@ -33,7 +33,7 @@ def init(key, num_classes: int, num_extra_features: int) -> Dict:
 
 def apply(variables: Dict, x: jnp.ndarray, *, training: bool = False,
           bn_momentum=0.1, rngs: Optional[Dict] = None, compute_dtype=None,
-          axis_name=None):
+          axis_name=None, fast_gather=None):
     """x [B, N, 6+extra] -> (log_probs [B, N, k], trans_feat [B, 64, 64],
     new_batch_stats)."""
     params, stats = variables["params"], variables["batch_stats"]

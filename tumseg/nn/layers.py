@@ -148,7 +148,7 @@ def set_abstraction_init(key, in_channel: int, mlp: Sequence[int]):
 def set_abstraction(params, stats, cfg: dict, xyz: jnp.ndarray,
                     points: Optional[jnp.ndarray], *, training: bool,
                     momentum, fps_start=None, compute_dtype=None,
-                    axis_name=None):
+                    axis_name=None, fast_gather=None):
     """SSG set abstraction (reference pointnet2_utils.py:161-202), but in
     channels-last: xyz [B, N, 3], points [B, N, D] ->
     (new_xyz [B, S, 3], new_points [B, S, mlp[-1]], new_stats).
@@ -159,9 +159,11 @@ def set_abstraction(params, stats, cfg: dict, xyz: jnp.ndarray,
     if cfg.get("group_all"):
         new_xyz, grouped = ops.sample_and_group_all(xyz, points)
     else:
+        if fast_gather is None:
+            fast_gather = compute_dtype is not None
         new_xyz, grouped = ops.sample_and_group(
             cfg["npoint"], cfg["radius"], cfg["nsample"], xyz, points,
-            fps_start=fps_start, fast_gather=compute_dtype is not None)
+            fps_start=fps_start, fast_gather=fast_gather)
     feat, new_stats = mlp_stack(params, stats, grouped, training=training,
                                 momentum=momentum, compute_dtype=compute_dtype,
                                 axis_name=axis_name)
@@ -183,7 +185,9 @@ def set_abstraction_msg_init(key, npoint: int, radius_list, nsample_list,
 def set_abstraction_msg(params, stats, cfg: dict, xyz: jnp.ndarray,
                         points: Optional[jnp.ndarray], *, training: bool,
                         momentum, fps_start=None, compute_dtype=None,
-                        axis_name=None):
+                        axis_name=None, fast_gather=None):
+    # fast_gather accepted for API uniformity; MSG grouping currently uses
+    # the XLA gather path (per-radius K differs, no fused kernel yet)
     """MSG: one FPS, then per-radius ball-query + MLP + K-max, concatenated
     over scales on the channel axis."""
     S = cfg["npoint"]
@@ -212,7 +216,7 @@ def feature_propagation_init(key, in_channel: int, mlp: Sequence[int]):
 
 def feature_propagation(params, stats, xyz1, xyz2, points1, points2, *,
                         training: bool, momentum, compute_dtype=None,
-                        axis_name=None):
+                        axis_name=None, fast_gather=None):
     """3-NN inverse-distance interpolation + skip concat + pointwise MLP
     (reference pointnet2_utils.py:265-315), channels-last:
     xyz1 [B, N, 3], xyz2 [B, S, 3], points1 [B, N, D1]|None, points2 [B, S, D2].
@@ -222,8 +226,10 @@ def feature_propagation(params, stats, xyz1, xyz2, points1, points2, *,
         interpolated = jnp.broadcast_to(
             points2, (points2.shape[0], xyz1.shape[1], points2.shape[2]))
     else:
+        if fast_gather is None:
+            fast_gather = compute_dtype is not None
         interpolated = ops.three_interpolate(
-            xyz1, xyz2, points2, fast_gather=compute_dtype is not None)
+            xyz1, xyz2, points2, fast_gather=fast_gather)
     if points1 is not None:
         new_points = jnp.concatenate([points1, interpolated], axis=-1)
     else:

@@ -67,7 +67,8 @@ class TrainEngine:
     def __init__(self, model, num_classes: int, train_weights: np.ndarray,
                  optimizer: str = "Adam", weight_decay: float = 1e-4,
                  mesh=None, augment_rotate: bool = True,
-                 compute_dtype=None, seed: int = 0):
+                 compute_dtype=None, seed: int = 0,
+                 exact_gathers: bool = False):
         self.model = model
         self.num_classes = num_classes
         self.mesh = mesh
@@ -95,7 +96,8 @@ class TrainEngine:
                     {"params": p, "batch_stats": batch_stats}, points,
                     training=True, bn_momentum=momentum,
                     rngs={"dropout": kdrop, "fps": kfps},
-                    compute_dtype=compute_dtype, axis_name=axis)
+                    compute_dtype=compute_dtype, axis_name=axis,
+                    fast_gather=not exact_gathers)
                 loss = model.loss(logp, target, aux, self.weights,
                                   axis_name=axis)
                 return loss, (new_stats, logp)
