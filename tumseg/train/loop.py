@@ -74,6 +74,8 @@ class TrainEngine:
         self.mesh = mesh
         self.augment_rotate = augment_rotate
         self.tx = make_optimizer(optimizer, weight_decay)
+        # traced argument (not a baked constant): different label weights
+        # reuse the same compiled step
         self.weights = jnp.asarray(train_weights, dtype=jnp.float32)
         self.base_key = jax.random.PRNGKey(seed)
         self._batch_sharding = (pmesh.batch_sharding(mesh)
@@ -81,8 +83,8 @@ class TrainEngine:
         self._step_count = 0
         axis = pmesh.DATA_AXIS if mesh is not None else None
 
-        def train_step(params, batch_stats, opt_state, points, target, lr,
-                       momentum, key):
+        def train_step(params, batch_stats, opt_state, points, target,
+                       weights, lr, momentum, key):
             if axis is not None:
                 # per-device RNG streams for augmentation/dropout/FPS
                 key = jax.random.fold_in(key, jax.lax.axis_index(axis))
@@ -98,7 +100,7 @@ class TrainEngine:
                     rngs={"dropout": kdrop, "fps": kfps},
                     compute_dtype=compute_dtype, axis_name=axis,
                     fast_gather=not exact_gathers)
-                loss = model.loss(logp, target, aux, self.weights,
+                loss = model.loss(logp, target, aux, weights,
                                   axis_name=axis)
                 return loss, (new_stats, logp)
 
@@ -118,11 +120,11 @@ class TrainEngine:
                 correct = jax.lax.psum(correct, axis)
             return new_params, new_stats, new_opt_state, loss, correct
 
-        def eval_step(params, batch_stats, points, target):
+        def eval_step(params, batch_stats, points, target, weights):
             logp, aux, _ = model.apply(
                 {"params": params, "batch_stats": batch_stats}, points,
                 training=False, compute_dtype=compute_dtype)
-            loss = model.loss(logp, target, aux, self.weights, axis_name=axis)
+            loss = model.loss(logp, target, aux, weights, axis_name=axis)
             pred = jnp.argmax(logp, axis=-1)
             tallies = M.confusion_tallies(pred, target, num_classes)
             if axis is not None:
@@ -140,12 +142,12 @@ class TrainEngine:
             P_b = P(pmesh.DATA_AXIS)
             train_sharded = jax.shard_map(
                 train_step, mesh=mesh,
-                in_specs=(P(), P(), P(), P_b, P_b, P(), P(), P()),
+                in_specs=(P(), P(), P(), P_b, P_b, P(), P(), P(), P()),
                 out_specs=(P(), P(), P(), P(), P()),
                 check_vma=True)
             eval_sharded = jax.shard_map(
                 eval_step, mesh=mesh,
-                in_specs=(P(), P(), P_b, P_b),
+                in_specs=(P(), P(), P_b, P_b, P()),
                 out_specs=(P(), P()),
                 check_vma=True)
             self._train_step = jax.jit(train_sharded, donate_argnums=(0, 1, 2))
@@ -198,12 +200,13 @@ class TrainEngine:
         (self.params, self.batch_stats, self.opt_state, loss,
          correct) = self._train_step(
             self.params, self.batch_stats, self.opt_state, points, target,
-            jnp.float32(lr), jnp.float32(momentum), key)
+            self.weights, jnp.float32(lr), jnp.float32(momentum), key)
         return loss, correct
 
     def eval_batch(self, points, target):
         points, target = self._put_batch(points, target)
-        return self._eval_step(self.params, self.batch_stats, points, target)
+        return self._eval_step(self.params, self.batch_stats, points, target,
+                               self.weights)
 
 
 def fit(engine: TrainEngine, train_loader, eval_loader, *, start_epoch: int,
