@@ -116,6 +116,39 @@ def test_train_with_computed_geometry(tmp_path, monkeypatch):
     assert len(acc) == 1
 
 
+def test_train_then_test_cli_multidevice(workspace, monkeypatch):
+    """--num_devices 8 exercises the shard_map training path and the
+    mesh-sharded voting forward end-to-end on the virtual CPU mesh."""
+    import jax
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    from tumseg.cli import test as test_cli
+    from tumseg.cli import train as train_cli
+
+    monkeypatch.chdir(workspace)
+    common = [
+        "--rootdir", str(workspace / "data"),
+        "--test_area", "test_tile.las",
+        "--model", "pointnet_sem_seg",
+        "--class8",
+        "--exp_dir", str(workspace / "log"),
+        "--log_dir", "mesh_run",
+        "--seed", "0",
+        "--num_devices", "8",
+    ]
+    targs = train_cli.parse_args(common + [
+        "--epoch", "1", "--batch_size", "8", "--npoint", "128"])
+    acc, ml, iou = train_cli.main(targs)
+    assert len(acc) == 1 and np.isfinite(ml[0])
+
+    eargs = test_cli.parse_args(common + [
+        "--exp_dir", str(workspace / "log") + "/sem_seg/",
+        "--batch_size", "8", "--num_point", "128", "--num_votes", "1"])
+    out = test_cli.main(eargs)
+    assert 0.0 <= out["miou"] <= 1.0
+
+
 def test_train_resume(workspace, monkeypatch):
     """Second invocation warm-starts from the saved best checkpoint."""
     from tumseg.cli import train as train_cli
