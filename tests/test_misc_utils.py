@@ -55,6 +55,20 @@ def test_assert_finite():
     assert finite_fraction(np.array([1.0, np.inf])) == 0.5
 
 
+def test_summarize_model():
+    import jax
+    from tumseg import models
+    from tumseg.utils.debug import summarize_model
+
+    var = models.get_module("pointnet2_sem_seg").init(
+        jax.random.PRNGKey(0), 8, 0)
+    lines = []
+    total = summarize_model(var, log=lines.append)
+    assert total > 900_000  # ~1M params (SURVEY §2.3)
+    assert any("sa1" in l for l in lines)
+    assert any("TOTAL" in l for l in lines)
+
+
 def test_nan_guard():
     from tumseg.utils.debug import NanGuard
 

@@ -216,6 +216,12 @@ def main(args):
         engine.init_state(jax.random.PRNGKey(args.seed or 0),
                           num_extra_features)
 
+    if args.visualizeModel:
+        from tumseg.utils.debug import summarize_model
+
+        log_string("Model parameter summary:")
+        summarize_model(engine.variables(), log=log_string)
+
     print("Identified Weights")
     print(train_labelweights)
     print("Data Preparation Complete")

@@ -59,6 +59,26 @@ class NanGuard:
         return getattr(self.engine, name)
 
 
+def summarize_model(variables, log=print) -> int:
+    """Per-module parameter counts (the working stand-in for the reference's
+    --visualizeModel torchviz hook, which was only wired to an Open3D
+    preview, geofunction.py:151-155). Returns the total parameter count."""
+    totals = {}
+
+    def count(path, leaf):
+        arr = np.asarray(leaf)
+        top = jax.tree_util.keystr(path[:1]).strip("[]'\"")
+        totals[top] = totals.get(top, 0) + arr.size
+
+    jax.tree_util.tree_map_with_path(count, variables.get("params", variables))
+    total = 0
+    for name in sorted(totals):
+        log("%-12s %10d params" % (name, totals[name]))
+        total += totals[name]
+    log("%-12s %10d params" % ("TOTAL", total))
+    return total
+
+
 @contextlib.contextmanager
 def jax_debug_nans() -> Iterator[None]:
     prev = jax.config.jax_debug_nans
