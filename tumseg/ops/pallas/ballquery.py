@@ -25,7 +25,7 @@ from jax import lax
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-_DEFAULT_S_TILE = 128
+_DEFAULT_S_TILE = 256
 
 
 def _ballquery_kernel(radius: float, nsample: int, n_total: int,
