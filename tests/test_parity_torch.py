@@ -151,6 +151,86 @@ def test_pointnet2_gradient_parity(monkeypatch):
         np.testing.assert_allclose(jg, tg, atol=atol, err_msg=tname)
 
 
+def test_training_trajectory_parity(monkeypatch):
+    """Same initial weights + same batch sequence -> the same loss
+    trajectory as the reference's torch training loop (Adam, weighted NLL,
+    train-mode BN; dropout disabled on both sides, FPS start pinned).
+    This is the end-to-end 'training dynamics match' check."""
+    _deterministic_randint(monkeypatch)
+    import importlib
+
+    import optax
+
+    from tumseg.train import make_optimizer
+
+    ref_mod = importlib.import_module("models.pointnet2_sem_seg")
+    torch.manual_seed(3)
+    ref = ref_mod.get_model(8, 0).train()
+    ref.drop1.p = 0.0  # dropout masks are RNG-framework-specific
+
+    variables = port_state_dict(ref.state_dict(), "pointnet2_sem_seg")
+    variables = jax.tree_util.tree_map(jnp.asarray, variables)
+    mine = models.get_module("pointnet2_sem_seg")
+
+    r = np.random.default_rng(7)
+    steps = 4
+    B, N = 1, 1024
+    batches = [(r.random((B, N, 6)).astype(np.float32),
+                r.integers(0, 8, (B, N))) for _ in range(steps)]
+    w = np.ones(8, dtype=np.float32)
+    lr, wd = 1e-3, 1e-4
+
+    # ---- torch trajectory ----
+    import torch.nn.functional as F
+
+    topt = torch.optim.Adam(ref.parameters(), lr=lr, betas=(0.9, 0.999),
+                            eps=1e-8, weight_decay=wd)
+    torch_losses = []
+    for x, t in batches:
+        topt.zero_grad()
+        pred, _ = ref(torch.from_numpy(x).transpose(2, 1))
+        loss = F.nll_loss(pred.reshape(-1, 8),
+                          torch.from_numpy(t).reshape(-1),
+                          weight=torch.from_numpy(w))
+        loss.backward()
+        topt.step()
+        torch_losses.append(float(loss))
+
+    # ---- tumseg trajectory ----
+    tx = make_optimizer("Adam", weight_decay=wd)
+    params = variables["params"]
+    stats = variables["batch_stats"]
+    opt_state = tx.init(params)
+    jw = jnp.asarray(w)
+
+    @jax.jit
+    def step(params, stats, opt_state, x, t):
+        def loss_fn(p):
+            logp, aux, new_stats = mine.apply(
+                {"params": p, "batch_stats": stats}, x, training=True,
+                bn_momentum=0.1)
+            return mine.loss(logp, t, aux, jw), new_stats
+
+        (loss, new_stats), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(params)
+        updates, opt_state = tx.update(grads, opt_state, params)
+        params = optax.apply_updates(
+            params, jax.tree_util.tree_map(lambda u: u * lr, updates))
+        return params, new_stats, opt_state, loss
+
+    my_losses = []
+    for x, t in batches:
+        params, stats, opt_state, loss = step(
+            params, stats, opt_state, jnp.asarray(x), jnp.asarray(t))
+        my_losses.append(float(loss))
+
+    # step 1 is pre-compounding and must match tightly; later steps drift at
+    # the fp level because Adam's eps-normalized updates amplify tiny grad
+    # differences into +-lr param deltas that compound
+    np.testing.assert_allclose(my_losses[0], torch_losses[0], rtol=1e-4)
+    np.testing.assert_allclose(my_losses, torch_losses, rtol=2e-2)
+
+
 def test_loss_parity():
     """Weighted NLL + transform regularizer match torch.nn.functional."""
     r = np.random.default_rng(2)
