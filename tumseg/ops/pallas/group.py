@@ -26,21 +26,24 @@ from jax import lax
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-_R_TILE = 512
+_R_TILE = 512        # exact mode (f32 intermediates)
+_R_TILE_FAST = 1024  # bf16 one-hot halves the VMEM footprint
 
 
-def _split3_dot(x, onehot, exact: bool):
-    """x @ onehot with a one-hot rhs. exact=True reconstructs all 24 f32
-    mantissa bits via a 3-way bf16 split (Mosaic supports only DEFAULT and
-    HIGHEST dot precisions; fp32-HIGHEST costs 6 passes, this costs 3);
-    exact=False is single-pass bf16 for bf16 compute mode."""
+def _split3_dot(x, onehot_bf16, exact: bool):
+    """x @ onehot with a one-hot bf16 rhs (0/1 are exact in bf16).
+    exact=True reconstructs all 24 f32 mantissa bits via a 3-way bf16 split
+    of x (Mosaic supports only DEFAULT and HIGHEST dot precisions;
+    fp32-HIGHEST costs 6 passes, this costs 3); exact=False is single-pass
+    bf16 for bf16 compute mode."""
     if not exact:
-        return jnp.dot(x, onehot, preferred_element_type=jnp.float32)
-    out = jnp.zeros((x.shape[0], onehot.shape[1]), dtype=jnp.float32)
+        return jnp.dot(x.astype(jnp.bfloat16), onehot_bf16,
+                       preferred_element_type=jnp.float32)
+    out = jnp.zeros((x.shape[0], onehot_bf16.shape[1]), dtype=jnp.float32)
     rem = x
     for _ in range(3):
         part = rem.astype(jnp.bfloat16)
-        out = out + jnp.dot(part, onehot.astype(jnp.bfloat16),
+        out = out + jnp.dot(part, onehot_bf16,
                             preferred_element_type=jnp.float32)
         rem = rem - part.astype(jnp.float32)
     return out
@@ -51,7 +54,7 @@ def _group_fwd_kernel(exact, idx_row_ref, srcT_ref, centerT_ref, outT_ref):
     R = idx_row_ref.shape[2]
     idx_row = idx_row_ref[0, 0, :][None, :]                  # [1, R] lanes
     niota = lax.broadcasted_iota(jnp.int32, (N, R), dimension=0)
-    onehot_t = (niota == idx_row).astype(jnp.float32)        # [N, R]
+    onehot_t = (niota == idx_row).astype(jnp.bfloat16)       # [N, R]
     gathered = _split3_dot(srcT_ref[0, :, :], onehot_t, exact)  # [C, R]
     riota = lax.broadcasted_iota(jnp.int32, (C, R), dimension=0)
     center = jnp.zeros((C, R), dtype=jnp.float32)
@@ -71,12 +74,12 @@ def _group_bwd_kernel(exact, idx_col_ref, gT_ref, dsrcT_ref):
     N = dsrcT_ref.shape[2]
     R = idx_col_ref.shape[1]
     col = lax.broadcasted_iota(jnp.int32, (R, N), dimension=1)
-    onehot = (col == idx_col_ref[0, :, :]).astype(jnp.float32)  # [R, N]
+    onehot = (col == idx_col_ref[0, :, :]).astype(jnp.bfloat16)  # [R, N]
     dsrcT_ref[0, :, :] += _split3_dot(gT_ref[0, :, :], onehot, exact)
 
 
-def _r_tile(R_total: int) -> int:
-    r = min(_R_TILE, R_total)
+def _r_tile(R_total: int, exact: bool = True) -> int:
+    r = min(_R_TILE if exact else _R_TILE_FAST, R_total)
     while R_total % r != 0:
         r //= 2
     return max(r, 1)
@@ -87,7 +90,7 @@ def _group_t_impl(idx_col, idx_row, srcT, centerT, exact):
 
     B, C, N = srcT.shape
     R_total = idx_row.shape[2]
-    r = _r_tile(R_total)
+    r = _r_tile(R_total, exact)
     grid = (B, R_total // r)
     return pl.pallas_call(
         functools.partial(_group_fwd_kernel, exact),
@@ -110,7 +113,7 @@ def _group_t_bwd_impl(idx_col, gT, N: int, exact):
     import functools
 
     B, C, R_total = gT.shape
-    r = _r_tile(R_total)
+    r = _r_tile(R_total, exact)
     grid = (B, R_total // r)
     return pl.pallas_call(
         functools.partial(_group_bwd_kernel, exact),
