@@ -15,6 +15,40 @@ pytestmark = pytest.mark.skipif(
     reason="reference checkout not available")
 
 
+def test_export_roundtrip_into_reference_model(tmp_path):
+    """tumseg init -> export_state_dict -> torch reference load ->
+    forward parity. Proves TPU-trained weights load in the reference."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    sys.path.insert(0, REF)
+    sys.path.insert(0, os.path.join(REF, "models"))
+    import importlib
+
+    from tools.export_torch_checkpoint import export_state_dict
+    from tumseg import models as tmodels
+
+    mine = tmodels.get_module("pointnet_sem_seg")
+    var = mine.init(jax.random.PRNGKey(1), 8, 0)
+    sd = {k: torch.from_numpy(np.ascontiguousarray(v))
+          for k, v in export_state_dict(
+              jax.tree_util.tree_map(np.asarray, var),
+              "pointnet_sem_seg").items()}
+
+    ref_mod = importlib.import_module("pointnet_sem_seg")
+    ref = ref_mod.get_model(8, 0)
+    ref.load_state_dict(sd)  # raises on any missing/unexpected key
+    ref.eval()
+
+    r = np.random.default_rng(9)
+    x = r.random((1, 256, 6)).astype(np.float32)
+    with torch.no_grad():
+        ref_out, _ = ref(torch.from_numpy(x).transpose(2, 1))
+    got, _, _ = mine.apply(var, jnp.asarray(x), training=False)
+    np.testing.assert_allclose(np.asarray(got), ref_out.numpy(), atol=2e-3)
+
+
 def test_port_cli_roundtrip(tmp_path):
     sys.path.insert(0, REF)
     import importlib
