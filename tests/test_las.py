@@ -64,6 +64,39 @@ def test_read_las_file_with_labels(tmp_path):
     np.testing.assert_array_equal(got, labels)
 
 
+def test_fuzz_roundtrips(tmp_path):
+    """Randomized roundtrips across point counts, coordinate ranges, scales,
+    and extra-bytes dtypes."""
+    r = np.random.default_rng(99)
+    for trial in range(8):
+        n = int(r.integers(1, 5000))
+        scale = float(r.choice([0.001, 0.01, 0.0001]))
+        offset = r.uniform(-1e5, 1e5, 3)
+        xyz = r.uniform(0, 100, (n, 3)) + offset
+        labels = r.integers(0, 32, n).astype(np.uint8)
+        use_rgb = bool(r.integers(0, 2))
+        rgb = (r.integers(0, 65536, (n, 3)).astype(np.uint16)
+               if use_rgb else None)
+        eb_dtype = r.choice([np.float32, np.float64, np.uint8, np.int32])
+        extra = {"Field A": r.uniform(0, 1, n).astype(eb_dtype)} \
+            if r.integers(0, 2) else None
+        p = str(tmp_path / f"fuzz{trial}.las")
+        write_las(p, xyz, labels, rgb=rgb, extra=extra,
+                  scales=(scale,) * 3)
+        las = read_las(p)
+        assert len(las) == n
+        np.testing.assert_allclose(las.xyz, xyz, atol=scale * 0.51)
+        np.testing.assert_array_equal(las.classification, labels)
+        if use_rgb:
+            np.testing.assert_array_equal(las.red, rgb[:, 0])
+        if extra:
+            got = getattr(las, "Field A")
+            if np.issubdtype(eb_dtype, np.floating):
+                np.testing.assert_allclose(got, extra["Field A"])
+            else:
+                np.testing.assert_array_equal(got, extra["Field A"])
+
+
 def test_large_coords_precision(tmp_path):
     # UTM-scale coordinates as in real TUM-Facade tiles
     xyz, labels, _ = _tile(128, seed=5)
