@@ -177,6 +177,27 @@ def test_jnp_host_rotation_agree():
                                (pts[..., :2] ** 2).sum(-1), rtol=1e-4)
 
 
+def test_device_augmentations_keyed(rng):
+    import jax
+    import jax.numpy as jnp
+
+    pts = jnp.asarray(rng.random((2, 64, 3)).astype(np.float32))
+    k = jax.random.PRNGKey(0)
+    j = augment.jjitter(k, pts)
+    assert np.abs(np.asarray(j - pts)).max() <= 0.05 + 1e-6  # clip bound
+    s = augment.jscale(k, pts)
+    ratio = np.asarray(s / pts)
+    assert 0.8 - 1e-5 <= ratio.min() and ratio.max() <= 1.25 + 1e-5
+    sh = augment.jshift(k, pts)
+    d = np.asarray(sh - pts)
+    # per-cloud constant shift within range
+    assert np.abs(d).max() <= 0.1 + 1e-6
+    np.testing.assert_allclose(d[:, 0, :], d[:, 1, :], atol=1e-6)
+    # keyed determinism
+    np.testing.assert_array_equal(np.asarray(augment.jrotate_z(k, pts)),
+                                  np.asarray(augment.jrotate_z(k, pts)))
+
+
 def test_jitter_scale_shift_shapes(rng):
     pts = rng.random((2, 64, 3)).astype(np.float32)
     g = np.random.default_rng(0)

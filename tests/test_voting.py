@@ -77,6 +77,15 @@ def test_infer_scene_deterministic_model_votes_agree(runner_and_ds):
     assert (a == b).mean() > 0.5  # untrained model, stochastic blocks
 
 
+def test_infer_scene_no_gt_gate(runner_and_ds):
+    """gt_weight_gate=False must not read ground-truth weights at all and
+    still cover every point (the no-GT-leak inference mode)."""
+    runner, ds = runner_and_ds
+    a = runner.infer_scene(ds, 0, num_votes=1, gt_weight_gate=False)
+    assert a.shape == ds.semantic_labels_list[0].shape
+    assert a.min() >= 0 and a.max() < 8
+
+
 def test_run_testing_report(tmp_path, runner_and_ds):
     from tumseg.utils.labels import LABEL2COLOR_8, seg_label_to_cat
 
