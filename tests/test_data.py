@@ -122,6 +122,47 @@ def test_test_grid_copy_and_index_update(tiles):
     assert len(ds.labelweights) == 8
 
 
+def test_test_grid_subset_keeps_scene_state_aligned(tiles):
+    """copy/index_update must subset extra_features_data + file_list and
+    remap non_index along with the scenes (the reference's latent bug at
+    sem_seg_testing.py:286-310, fixed here; ADVICE r1 #1)."""
+    ds = TestGridDataset(las_file_list=tiles, num_classes=8, block_points=512,
+                         seed=0)
+    # attach a distinguishable per-scene extra feature column
+    for r in range(2):
+        n = ds.scene_points_list[r].shape[0]
+        ds.extra_features_data[r].append(np.full(n, float(r)))
+    ds.feature_name.append("marker")
+    ds.num_extra_features += 1
+    ds.non_index = [0, 1]
+
+    sub = ds.copy([1])
+    assert len(sub.extra_features_data) == 1
+    assert sub.extra_features_data[0][-1][0] == 1.0  # scene 1's column
+    assert sub.file_list == [ds.file_list[1]]
+    assert sub.non_index == [0]  # old scene 1 remapped to position 0
+    data, labels, smpw, pidx = sub[0]  # feature gather works post-subset
+    assert data.shape[2] == 10  # 9 + marker
+    np.testing.assert_allclose(data[..., 9], 1.0)
+
+    ds.index_update([1])
+    assert len(ds.extra_features_data) == 1
+    assert ds.extra_features_data[0][-1][0] == 1.0
+    assert ds.non_index == [0]
+
+
+def test_batch_loader_seed_deterministic_across_workers(tiles):
+    ds = TrainBlockDataset(tiles, num_classes=8, num_point=128, seed=0)
+    runs = []
+    for workers in (1, 4):
+        loader = BatchLoader(ds, batch_size=4, shuffle=True, drop_last=True,
+                             num_workers=workers, seed=7)
+        f, l = next(iter(loader))
+        runs.append((f, l))
+    np.testing.assert_array_equal(runs[0][0], runs[1][0])
+    np.testing.assert_array_equal(runs[0][1], runs[1][1])
+
+
 def test_test_grid_save_load(tiles, tmp_path):
     ds = TestGridDataset(las_file_list=tiles[:1], num_classes=8,
                          block_points=512, seed=0)
@@ -196,6 +237,52 @@ def test_device_augmentations_keyed(rng):
     # keyed determinism
     np.testing.assert_array_equal(np.asarray(augment.jrotate_z(k, pts)),
                                   np.asarray(augment.jrotate_z(k, pts)))
+
+
+def test_rotate_with_normal_variants(rng):
+    """xyz+normal rotations: same rotation on both blocks, norms preserved,
+    and xyz path agrees with the plain variants (provider.py:86-174)."""
+    pts = rng.random((3, 50, 6)).astype(np.float32)
+    # normalize the normal block so we can check it stays unit-length
+    pts[..., 3:6] /= np.linalg.norm(pts[..., 3:6], axis=-1, keepdims=True)
+
+    out = augment.rotate_point_cloud_with_normal(
+        pts.copy(), rng=np.random.default_rng(0))
+    np.testing.assert_allclose(np.linalg.norm(out[..., 3:6], axis=-1), 1.0,
+                               rtol=1e-5)
+    # +y rotation preserves the y component of both blocks
+    np.testing.assert_allclose(out[..., 1], pts[..., 1], atol=1e-5)
+    np.testing.assert_allclose(out[..., 4], pts[..., 4], atol=1e-5)
+
+    ang = 0.7
+    fixed = augment.rotate_point_cloud_by_angle_with_normal(pts.copy(), ang)
+    plain = augment.rotate_point_cloud_by_angle(pts[..., :3].copy(), ang)
+    np.testing.assert_allclose(fixed[..., :3], plain, atol=1e-5)
+    np.testing.assert_allclose(np.linalg.norm(fixed[..., 3:6], axis=-1), 1.0,
+                               rtol=1e-5)
+
+    pert = augment.rotate_perturbation_point_cloud_with_normal(
+        pts.copy(), rng=np.random.default_rng(1))
+    # small perturbation: stays close but not identical
+    assert np.abs(pert[..., :3] - pts[..., :3]).max() < 0.5
+    assert np.abs(pert - pts).max() > 0
+    np.testing.assert_allclose(np.linalg.norm(pert[..., 3:6], axis=-1), 1.0,
+                               rtol=1e-5)
+    # same R applied to xyz and normals: dot(xyz, normal) invariant
+    np.testing.assert_allclose(
+        (pert[..., :3] * pert[..., 3:6]).sum(-1),
+        (pts[..., :3] * pts[..., 3:6]).sum(-1), atol=1e-4)
+
+
+def test_perturbation_with_normal_matches_plain_xyz(rng):
+    """The batch-vectorized with-normal perturbation uses the same euler
+    composition R = Rz@Ry@Rx as the per-cloud plain variant."""
+    pts = rng.random((2, 30, 6)).astype(np.float32)
+    a = augment.rotate_perturbation_point_cloud_with_normal(
+        pts.copy(), rng=np.random.default_rng(5))
+    b = augment.rotate_perturbation_point_cloud(
+        pts[..., :3].copy(), rng=np.random.default_rng(5))
+    np.testing.assert_allclose(a[..., :3], b, atol=1e-5)
 
 
 def test_jitter_scale_shift_shapes(rng):

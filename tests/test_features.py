@@ -1,0 +1,98 @@
+"""Geometric-feature computation tests (tumseg/data/features.py) — the
+working replacement for the reference's broken geofunction.py."""
+
+import numpy as np
+import pytest
+
+from tumseg.data.dataset import TestGridDataset, TrainBlockDataset
+from tumseg.data.features import (
+    attach_geofeatures, cal_geofeature, geometric_features, voxel_downsample,
+)
+from tumseg.data.las import write_las
+
+
+@pytest.fixture
+def tile(tmp_path):
+    r = np.random.default_rng(0)
+    # dense enough that a 1m x 1m xy-block holds >1024 points (the train
+    # sampler's rejection threshold): 6000 pts over 2x2 m -> ~1500/block
+    n = 6000
+    xyz = np.stack([r.uniform(0, 2, n), r.uniform(0, 2, n),
+                    r.uniform(0, 3, n)], 1)
+    labels = r.choice([1, 2, 3, 5, 7, 8, 11, 13], n)
+    p = str(tmp_path / "feat.las")
+    write_las(p, xyz, labels)
+    return p
+
+
+def test_geometric_features_planar_oracle(rng):
+    # points on a plane -> planarity ~1, surface variation ~0
+    n = 500
+    pts = np.zeros((n, 3))
+    pts[:, 0] = rng.uniform(0, 1, n)
+    pts[:, 1] = rng.uniform(0, 1, n)
+    lp, lo, lc, non = geometric_features(pts, radius=0.5)
+    assert not non
+    # uniform-in-plane neighborhoods: lambda2 = 0 exactly, lambda1/lambda0
+    # well below 1 (isotropic square), so planarity ~0.5-0.7
+    assert lp.mean() > 0.4
+    assert lc.max() < 1e-6
+
+
+def test_geometric_features_isolated_points():
+    pts = np.array([[0.0, 0, 0], [100.0, 0, 0], [0, 100.0, 0]])
+    lp, lo, lc, non = geometric_features(pts, radius=0.5)
+    assert non == [0, 1, 2]
+    assert (lp == 0).all()
+
+
+def test_voxel_downsample_majority_and_inverse(rng):
+    pts = rng.uniform(0, 1, (2000, 3))
+    labels = rng.integers(0, 4, 2000)
+    c, m = voxel_downsample(pts, labels, voxel_size=0.2)
+    assert c.shape[0] == m.shape[0] <= 125 + 27
+    c2, m2, inv = voxel_downsample(pts, labels, voxel_size=0.2,
+                                   return_inverse=True)
+    np.testing.assert_allclose(c, c2)
+    assert inv.shape == (2000,)
+    assert inv.max() == c.shape[0] - 1
+    # each point's voxel centroid within voxel diameter of the point
+    np.testing.assert_array_less(
+        np.abs(c[inv] - pts).max(axis=1), 0.2 + 1e-9)
+
+
+@pytest.mark.parametrize("downsample", [False, True])
+def test_attach_geofeatures_lengths_match(tile, downsample):
+    """Feature columns must be per-full-resolution-point even when computed
+    on a downsampled cloud (ADVICE r1 #2)."""
+    ds = TrainBlockDataset([tile], num_classes=8, num_point=128, color=False,
+                           seed=0)
+    attach_geofeatures(ds, ["Planarity", "Omnivariance"],
+                       downsample=downsample)
+    assert ds.num_extra_features == 2
+    assert ds.feature_name == ["Planarity", "Omnivariance"]
+    n_room = ds.room_points[0].shape[0]
+    for col in ds.extra_features_data[0]:
+        assert col.shape == (n_room,)
+    feats, labels = ds[0]
+    assert feats.shape == (128, 8)
+    assert np.isfinite(feats).all()
+
+
+def test_attach_geofeatures_test_dataset(tile):
+    ds = TestGridDataset(las_file_list=[tile], num_classes=8,
+                         block_points=128, color=False, seed=0)
+    attach_geofeatures(ds, ["Surface variation"])
+    data, labels, smpw, pidx = ds[0]
+    assert data.shape[2] == 7  # 6 base (color off) + 1 geo
+    assert np.isfinite(data).all()
+
+
+def test_cal_geofeature_downsample_parity_direction(tile):
+    """Downsampled features approximate full-res ones (same scale, finite)."""
+    ds = TrainBlockDataset([tile], num_classes=8, num_point=128, color=False,
+                           seed=0)
+    lp_f, _, _, _ = cal_geofeature(ds, downsample=False)
+    lp_d, _, _, _ = cal_geofeature(ds, downsample=True)
+    assert lp_f[0].shape == lp_d[0].shape
+    assert np.isfinite(lp_d[0]).all()

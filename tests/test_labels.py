@@ -44,6 +44,18 @@ def test_merge_vectorized_matches_scalar():
     assert merged.min() >= 0 and merged.max() <= 7
 
 
+def test_merge_rejects_unmapped_codes():
+    import pytest
+
+    # 0 'total' and 4 'balcony' have no 8-class destination: fail loudly
+    # instead of producing -1 labels (ADVICE r1 #3)
+    for bad in (0, 4):
+        with pytest.raises(ValueError, match=str(bad)):
+            merge_to_8_classes(np.array([1, bad, 2]))
+    with pytest.raises(ValueError, match="18"):
+        merge_to_8_classes(np.array([18]))
+
+
 def test_label_weights_formula():
     hist = np.array([100, 10, 1, 50], dtype=np.float64)
     w = label_weights(hist)

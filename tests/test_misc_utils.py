@@ -152,3 +152,73 @@ def test_collect_bounding_box(tmp_path, rng):
     s3dis.collect_bounding_box(str(anno), out)
     line = open(out).read().split()
     assert line[0] == "table" and len(line) == 7
+
+
+def test_room2blocks_plus_and_wrapper(tmp_path, rng):
+    data, label = _room(rng)
+    dl = np.concatenate([data, label[:, None]], 1)
+    bd, bl = s3dis.room2blocks_plus(dl, 128, 1.0, 1.0,
+                                    rng=np.random.default_rng(0))
+    assert bd.shape[1:] == (128, 6)  # no normalized channels
+    assert bd[..., 3:6].max() <= 1.0
+    src = str(tmp_path / "room.npy")
+    np.save(src, dl)
+    bd2, bl2 = s3dis.room2blocks_wrapper(src, 128)
+    assert bd2.shape[1:] == (128, 6) and bd2.shape[0] == bd.shape[0]
+
+
+def test_data_to_obj(tmp_path, rng):
+    dl = np.concatenate([rng.random((30, 6)) * 255,
+                         rng.integers(0, 13, (30, 1))], 1)
+    out = str(tmp_path / "d.obj")
+    s3dis.data_to_obj(dl, out, no_wall=True)
+    lines = open(out).read().splitlines()
+    n_kept = int(((dl[:, 6] != 0) & (dl[:, 6] != 2)).sum())
+    assert len(lines) == n_kept
+    s3dis.data_to_obj(dl, out, no_wall=False)
+    assert len(open(out).read().splitlines()) == 30
+
+
+def test_bbox_label_to_obj_variants(tmp_path):
+    bb = np.array([[0, 0, 0, 1, 2, 3, 7],       # table
+                   [1, 1, 1, 2, 2, 2, 2]])      # wall
+    src = str(tmp_path / "bb.txt")
+    np.savetxt(src, bb)
+    prefix = str(tmp_path / "boxes")
+    s3dis.bbox_label_to_obj(src, prefix)
+    objs = sorted(tmp_path.glob("boxes_*.obj"))
+    mtls = sorted(tmp_path.glob("boxes_*.mtl"))
+    assert len(objs) == 2 and len(mtls) == 2
+    text = objs[0].read_text()
+    assert text.count("\nv ") == 8 and text.count("\nf ") == 6
+    # easy_view keeps only furniture/floor labels
+    prefix2 = str(tmp_path / "easy")
+    s3dis.bbox_label_to_obj(src, prefix2, easy_view=True)
+    assert len(list(tmp_path.glob("easy_*.obj"))) == 1
+
+    room_prefix = str(tmp_path / "room")
+    s3dis.bbox_label_to_obj_room(src, room_prefix, permute=[0, 2, 1],
+                                 center=True)
+    rt = (tmp_path / "room.obj").read_text()
+    assert rt.count("\nv ") == 16 and rt.count("\nf ") == 12
+    assert "mtllib room.mtl" in rt
+    s3dis.bbox_label_to_obj_room(src, str(tmp_path / "noT"),
+                                 exclude_table=True)
+    assert (tmp_path / "noT.obj").read_text().count("\nv ") == 8
+
+
+def test_collect_point_bounding_box(tmp_path, rng):
+    anno = tmp_path / "Annotations"
+    anno.mkdir()
+    np.savetxt(str(anno / "chair_1.txt"), rng.random((10, 6)))
+    np.savetxt(str(anno / "wall_1.txt"), rng.random((5, 6)) + 2.0)
+    out = str(tmp_path / "pbb.npy")
+    pbb = s3dis.collect_point_bounding_box(str(anno), out, "numpy")
+    assert pbb.shape == (15, 13)
+    assert pbb[:, 0:3].min() >= 0  # room-shifted
+    # offset + point (pre-shift) = box center; half-dims consistent:
+    # reconstruct each instance's extent from offsets and half-dims
+    half = pbb[:10, 10:13]
+    assert (half >= 0).all()
+    loaded = np.load(out)
+    np.testing.assert_allclose(loaded, pbb)

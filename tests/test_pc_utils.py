@@ -22,6 +22,39 @@ def test_ply_roundtrip_binary(tmp_path, rng):
     np.testing.assert_allclose(got, pts, atol=1e-6)
 
 
+def _mesh_elements(rng):
+    verts = np.zeros(10, dtype=[("x", "f4"), ("y", "f4"), ("z", "f4"),
+                                ("red", "u1")])
+    verts["x"] = rng.random(10).astype(np.float32)
+    verts["y"] = rng.random(10).astype(np.float32)
+    verts["z"] = rng.random(10).astype(np.float32)
+    verts["red"] = rng.integers(0, 256, 10)
+    faces = np.empty(3, dtype=[("vertex_indices", "O")])
+    faces["vertex_indices"][0] = np.array([0, 1, 2], dtype=np.int32)
+    faces["vertex_indices"][1] = np.array([3, 4, 5, 6], dtype=np.int32)
+    faces["vertex_indices"][2] = np.array([7, 8, 9], dtype=np.int32)
+    return {"vertex": verts, "face": faces}
+
+
+@pytest.mark.parametrize("text,bo", [(True, "<"), (False, "<"), (False, ">")])
+def test_ply_full_roundtrip_lists_and_endianness(tmp_path, rng, text, bo):
+    """Full plyfile capability surface: multi-element, list properties,
+    both endiannesses (reference vendors plyfile.py for this)."""
+    els = _mesh_elements(rng)
+    p = str(tmp_path / "mesh.ply")
+    U.write_ply_full(p, els, text=text, byte_order=bo, comments=["mesh"])
+    got = U.read_ply_full(p)
+    assert set(got) == {"vertex", "face"}
+    np.testing.assert_allclose(got["vertex"]["x"], els["vertex"]["x"],
+                               atol=1e-6)
+    np.testing.assert_array_equal(got["vertex"]["red"], els["vertex"]["red"])
+    assert got["face"].shape == (3,)
+    for i in range(3):
+        np.testing.assert_array_equal(
+            np.asarray(got["face"]["vertex_indices"][i], dtype=np.int64),
+            np.asarray(els["face"]["vertex_indices"][i], dtype=np.int64))
+
+
 def test_volume_roundtrip(rng):
     pts = rng.random((30, 3)) * 1.6 - 0.8
     vol = U.point_cloud_to_volume(pts, 12, radius=1.0)
@@ -53,3 +86,26 @@ def test_three_views(rng):
     pts = rng.random((100, 3)) - 0.5
     img = U.point_cloud_three_views(pts)
     assert img.shape == (500, 1500)
+
+
+def test_three_views_demo_jpg(tmp_path, rng):
+    pts = rng.random((80, 3)) - 0.5
+    out = str(tmp_path / "demo.jpg")
+    assert U.point_cloud_three_views_demo(pts, out) == out
+    from PIL import Image
+
+    with Image.open(out) as im:
+        assert im.size == (1500, 500)
+
+
+def test_pyplot_draw_helpers(tmp_path, rng):
+    pts = rng.random((40, 3))
+    p1 = str(tmp_path / "cloud.png")
+    U.pyplot_draw_point_cloud(pts, p1)
+    import os
+
+    assert os.path.getsize(p1) > 0
+    vol = U.point_cloud_to_volume(pts * 1.6 - 0.8, 8)
+    p2 = str(tmp_path / "vol.png")
+    U.pyplot_draw_volume(vol, p2)
+    assert os.path.getsize(p2) > 0

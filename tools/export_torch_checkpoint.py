@@ -6,7 +6,7 @@ for cross-validation.
 Usage:
     python tools/export_torch_checkpoint.py best_model.pth out.pth \
         --model pointnet2_sem_seg
-(the input is a tumseg pickle checkpoint from tumseg.train.checkpoint)
+(the input is a tumseg-ckpt-v2 npz checkpoint from tumseg.train.checkpoint)
 """
 
 from __future__ import annotations
@@ -83,7 +83,7 @@ def export_state_dict(variables: Dict, model_name: str) -> Dict[str, np.ndarray]
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("checkpoint", help="tumseg checkpoint (pickle)")
+    ap.add_argument("checkpoint", help="tumseg checkpoint (tumseg-ckpt-v2)")
     ap.add_argument("out", help="output .pth")
     ap.add_argument("--model", default="pointnet2_sem_seg")
     args = ap.parse_args()

@@ -74,10 +74,18 @@ def parse_args(argv=None):
     parser.add_argument("--bf16", default=False, action="store_true",
                         help="bfloat16 matmul activations")
     parser.add_argument("--seed", type=int, default=None)
+    parser.add_argument("--coordinator_address", type=str, default=None,
+                        help="host:port of process 0 for multi-host pods")
+    parser.add_argument("--num_processes", type=int, default=None)
+    parser.add_argument("--process_id", type=int, default=None)
     return parser.parse_args(argv)
 
 
 def main(args):
+    from tumseg.parallel import initialize_distributed
+
+    initialize_distributed(args.coordinator_address, args.num_processes,
+                           args.process_id)
     print(args.class8)
     if args.class8 is False:
         classes, NUM_CLASSES, label2color = class_tables(False)

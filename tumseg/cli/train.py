@@ -93,11 +93,22 @@ def parse_args(argv=None):
                         help="bfloat16 matmul activations")
     parser.add_argument("--seed", type=int, default=None,
                         help="deterministic data/model seed")
+    parser.add_argument("--coordinator_address", type=str, default=None,
+                        help="host:port of process 0 for multi-host pods "
+                             "(jax.distributed)")
+    parser.add_argument("--num_processes", type=int, default=None,
+                        help="total host processes in the pod")
+    parser.add_argument("--process_id", type=int, default=None,
+                        help="this host's process index")
     return parser.parse_args(argv)
 
 
 def main(args):
     start = time.time()
+    from tumseg.parallel import initialize_distributed
+
+    initialize_distributed(args.coordinator_address, args.num_processes,
+                           args.process_id)
     if args.class8 is False:
         classes = CLASSES_18
         NUM_CLASSES = 18
@@ -175,8 +186,12 @@ def main(args):
     trainDataLoader = BatchLoader(TRAIN_DATASET, batch_size=BATCH_SIZE,
                                   shuffle=True, num_workers=8, drop_last=True,
                                   seed=args.seed)
-    evalDataLoader = BatchLoader(EVAL_DATASET, batch_size=BATCH_SIZE,
-                                 shuffle=False, num_workers=8, drop_last=True)
+    evalDataLoader = BatchLoader(
+        EVAL_DATASET, batch_size=BATCH_SIZE, shuffle=False, num_workers=8,
+        drop_last=True,
+        # distinct stream from the train loader so --seed makes eval-block
+        # sampling (and thus eval metrics) reproducible too
+        seed=None if args.seed is None else args.seed + 1)
 
     log_string("The number of training data is: %d" % len(TRAIN_DATASET))
     train_labelweights = TRAIN_DATASET.calculate_labelweights()

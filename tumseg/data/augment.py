@@ -60,6 +60,62 @@ def rotate_point_cloud_by_angle(batch_data, rotation_angle):
                      ).astype(np.float32)
 
 
+def rotate_point_cloud_with_normal(batch_xyz_normal, rng=None):
+    """Random per-cloud +y rotation of [B, N, 6] xyz+normal clouds; the same
+    rotation is applied to both blocks (provider.py:86-104)."""
+    rng = rng or np.random
+    angles = rng.uniform(size=batch_xyz_normal.shape[0]) * 2 * np.pi
+    rot = _rot_y(angles)
+    out = np.asarray(batch_xyz_normal, dtype=np.float32).copy()
+    out[..., :3] = np.einsum("bnc,bck->bnk", out[..., :3], rot)
+    out[..., 3:6] = np.einsum("bnc,bck->bnk", out[..., 3:6], rot)
+    return out
+
+
+def rotate_point_cloud_by_angle_with_normal(batch_xyz_normal, rotation_angle):
+    """Fixed-angle +y rotation of xyz+normal clouds (provider.py:152-174)."""
+    angles = np.full(batch_xyz_normal.shape[0], rotation_angle)
+    rot = _rot_y(angles)
+    out = np.asarray(batch_xyz_normal, dtype=np.float32).copy()
+    out[..., :3] = np.einsum("bnc,bck->bnk", out[..., :3], rot)
+    out[..., 3:6] = np.einsum("bnc,bck->bnk", out[..., 3:6], rot)
+    return out
+
+
+def _perturbation_rots(B, angle_sigma, angle_clip, rng):
+    """[B, 3, 3] small-euler perturbation matrices Rz @ Ry @ Rx
+    (provider.py:176-198 convention), batch-vectorized."""
+    draws = (rng.standard_normal((B, 3)) if hasattr(rng, "standard_normal")
+             else rng.randn(B, 3))
+    a = np.clip(angle_sigma * draws, -angle_clip, angle_clip)
+    cx, sx = np.cos(a[:, 0]), np.sin(a[:, 0])
+    cy, sy = np.cos(a[:, 1]), np.sin(a[:, 1])
+    cz, sz = np.cos(a[:, 2]), np.sin(a[:, 2])
+    zeros, ones = np.zeros(B), np.ones(B)
+    Rx = np.stack([np.stack([ones, zeros, zeros], -1),
+                   np.stack([zeros, cx, -sx], -1),
+                   np.stack([zeros, sx, cx], -1)], -2)
+    Ry = np.stack([np.stack([cy, zeros, sy], -1),
+                   np.stack([zeros, ones, zeros], -1),
+                   np.stack([-sy, zeros, cy], -1)], -2)
+    Rz = np.stack([np.stack([cz, -sz, zeros], -1),
+                   np.stack([sz, cz, zeros], -1),
+                   np.stack([zeros, zeros, ones], -1)], -2)
+    return Rz @ Ry @ Rx
+
+
+def rotate_perturbation_point_cloud_with_normal(batch_data, angle_sigma=0.06,
+                                                angle_clip=0.18, rng=None):
+    """Small random euler perturbations of xyz+normal clouds
+    (provider.py:106-131)."""
+    rng = rng or np.random
+    rot = _perturbation_rots(batch_data.shape[0], angle_sigma, angle_clip, rng)
+    out = np.asarray(batch_data, dtype=np.float32).copy()
+    out[..., :3] = np.einsum("bnc,bck->bnk", out[..., :3], rot)
+    out[..., 3:6] = np.einsum("bnc,bck->bnk", out[..., 3:6], rot)
+    return out
+
+
 def rotate_perturbation_point_cloud(batch_data, angle_sigma=0.06,
                                     angle_clip=0.18, rng=None):
     """Small random xyz-euler perturbations (provider.py:176-198)."""

@@ -118,6 +118,12 @@ class TrainBlockDataset:
         return len(self.room_idxs)
 
     def __getitem__(self, idx):
+        return self.sample(idx, self._rng)
+
+    def sample(self, idx, rng: np.random.Generator):
+        """__getitem__ with an explicit Generator, so multi-worker loaders
+        can derive a per-(seed, epoch, idx) stream and stay deterministic
+        regardless of thread scheduling."""
         room_idx = int(self.room_idxs[idx])
         points = self.room_points[room_idx]
         labels = self.room_labels[room_idx]
@@ -127,7 +133,7 @@ class TrainBlockDataset:
         # rejection-sample a block center until >1024 points fall inside
         # (reference sem_seg_training.py:207-216)
         while True:
-            center = points[int(self._rng.integers(n_points))][:3]
+            center = points[int(rng.integers(n_points))][:3]
             block_min = center[:2] - half
             block_max = center[:2] + half
             inside = ((points[:, 0] >= block_min[0]) & (points[:, 0] <= block_max[0])
@@ -137,7 +143,7 @@ class TrainBlockDataset:
                 break
 
         replace = point_idxs.size < self.num_point
-        selected = self._rng.choice(point_idxs, self.num_point, replace=replace)
+        selected = rng.choice(point_idxs, self.num_point, replace=replace)
 
         sel_pts = points[selected]
         cmax = self.room_coord_max[room_idx]
@@ -361,10 +367,36 @@ class TestGridDataset:
         total = set(range(len(self.scene_points_list)))
         return sorted(total - set(self.non_index))
 
+    def _subset_scene_state(self, idxs):
+        """Per-scene lists that must stay aligned with scene_points_list.
+
+        The reference has a latent bug here: its TestCustomDataset.copy
+        subsets points/labels only, so extra_features_data / file_list keep
+        the old indexing (sem_seg_testing.py:286-310) — it never fires there
+        because filtered_update doesn't exist, but our working geofeature
+        path (features.attach_geofeatures) does call index_update, so we
+        subset everything and remap non_index.
+        """
+        n = len(self.scene_points_list)
+        picked = [int(i) for i in idxs]
+        out = {
+            "scene_points_list": [self.scene_points_list[i] for i in picked],
+            "semantic_labels_list": [self.semantic_labels_list[i]
+                                     for i in picked],
+        }
+        for attr in ("extra_features_data", "file_list",
+                     "room_coord_min", "room_coord_max"):
+            vals = getattr(self, attr)
+            out[attr] = ([vals[i] for i in picked] if len(vals) == n
+                         else list(vals))
+        old2new = {old: new for new, old in enumerate(picked)}
+        out["non_index"] = sorted(old2new[i] for i in self.non_index
+                                  if i in old2new)
+        return out
+
     def index_update(self, new_indices):
-        self.scene_points_list = [self.scene_points_list[i] for i in new_indices]
-        self.semantic_labels_list = [self.semantic_labels_list[i]
-                                     for i in new_indices]
+        for attr, val in self._subset_scene_state(new_indices).items():
+            setattr(self, attr, val)
         self.labelweights, self.scene_points_num = self._recompute_weights()
 
     def filtered_update(self, new_indices=None):
@@ -388,15 +420,17 @@ class TestGridDataset:
 
     def copy(self, new_indices=None) -> "TestGridDataset":
         out = TestGridDataset()
-        for attr in ["block_points", "block_size", "padding", "file_list",
-                     "stride", "num_classes", "room_coord_min",
-                     "room_coord_max", "non_index", "num_extra_features",
-                     "extra_features_data", "feature_name"]:
+        for attr in ["block_points", "block_size", "padding", "stride",
+                     "num_classes", "num_extra_features", "feature_name"]:
             setattr(out, attr, getattr(self, attr))
+        out.feature_name = list(self.feature_name)
         idxs = (list(range(len(self.scene_points_list)))
                 if new_indices is None else new_indices)
-        out.scene_points_list = [self.scene_points_list[i] for i in idxs]
-        out.semantic_labels_list = [self.semantic_labels_list[i] for i in idxs]
+        for attr, val in self._subset_scene_state(idxs).items():
+            setattr(out, attr, val)
+        # fresh per-scene containers so later feature attachment on one copy
+        # cannot cross-pollute the other
+        out.extra_features_data = [list(f) for f in out.extra_features_data]
         out.labelweights, out.scene_points_num = out._recompute_weights()
         return out
 

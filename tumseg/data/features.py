@@ -69,10 +69,13 @@ def geometric_features(points: np.ndarray, radius: float = 0.8,
 
 
 def voxel_downsample(points: np.ndarray, labels: np.ndarray,
-                     voxel_size: float = 0.05
-                     ) -> Tuple[np.ndarray, np.ndarray]:
+                     voxel_size: float = 0.05, return_inverse: bool = False):
     """Voxel-grid downsample: centroid position + majority label per voxel
-    (the open3d voxel_down_sample equivalent, geofunction.py:101-118)."""
+    (the open3d voxel_down_sample equivalent, geofunction.py:101-118).
+
+    With ``return_inverse=True`` also returns the [N] voxel index of each
+    input point, so per-voxel quantities can be scattered back to full
+    resolution."""
     keys = np.floor((points - points.min(axis=0)) / voxel_size).astype(np.int64)
     _, inverse, counts = np.unique(keys, axis=0, return_inverse=True,
                                    return_counts=True)
@@ -84,8 +87,10 @@ def voxel_downsample(points: np.ndarray, labels: np.ndarray,
     num_classes = int(labels.max()) + 1
     votes = np.zeros((n_voxels, num_classes), dtype=np.int64)
     np.add.at(votes, (inverse, labels.astype(np.int64)), 1)
-    maj = votes.argmax(axis=1)
-    return centroids, maj.astype(labels.dtype)
+    maj = votes.argmax(axis=1).astype(labels.dtype)
+    if return_inverse:
+        return centroids, maj, inverse
+    return centroids, maj
 
 
 def cal_geofeature(dataset, downsample: bool = False, visualize: bool = False):
@@ -103,18 +108,25 @@ def cal_geofeature(dataset, downsample: bool = False, visualize: bool = False):
     if room_labels is None:
         room_labels = dataset.semantic_labels_list
 
-    if downsample:
-        new_rooms, new_labels = [], []
-        for pts, labels in zip(rooms, room_labels):
-            p, l = voxel_downsample(pts, np.asarray(labels))
-            new_rooms.append(p)
-            new_labels.append(l)
-        rooms, room_labels = new_rooms, new_labels
-
     lp_rooms, lo_rooms, lc_rooms = [], [], []
     non_index = []
-    for r, pts in enumerate(rooms):
-        lp, lo, lc, non = geometric_features(np.asarray(pts)[:, :3])
+    for r, (pts, labels) in enumerate(zip(rooms, room_labels)):
+        pts = np.asarray(pts)[:, :3]
+        if downsample:
+            # Feature columns must stay per-full-resolution-point (the
+            # dataset gathers them with the same point indices as xyz), so
+            # downsampling is a speed knob only: compute PCA features on the
+            # voxel centroids, then scatter each voxel's features back to
+            # every full-res point in it via the voxel inverse map.
+            centroids, _, inverse = voxel_downsample(
+                pts, np.asarray(labels), return_inverse=True)
+            lp, lo, lc, non = geometric_features(centroids)
+            if non:
+                bad = np.isin(inverse, np.asarray(non))
+                non = np.flatnonzero(bad).tolist()
+            lp, lo, lc = lp[inverse], lo[inverse], lc[inverse]
+        else:
+            lp, lo, lc, non = geometric_features(pts)
         lp_rooms.append(lp)
         lo_rooms.append(lo)
         lc_rooms.append(lc)

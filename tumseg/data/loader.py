@@ -32,6 +32,12 @@ class BatchLoader:
         self.num_workers = max(1, num_workers)
         self.prefetch = prefetch
         self._seed = seed
+        # Per-sample RNG base: with a user seed, block sampling is fully
+        # deterministic regardless of worker thread scheduling (each sample
+        # gets its own default_rng([base, epoch, idx]) stream); without one,
+        # draw the base from OS entropy once.
+        self._rng_base = (int(np.random.SeedSequence().entropy) % (2 ** 63)
+                          if seed is None else int(seed))
         self._epoch = 0
 
     def __len__(self):
@@ -56,9 +62,14 @@ class BatchLoader:
         out_q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
         sentinel = object()
 
+        sample = getattr(self.dataset, "sample", None)
+        epoch = self._epoch
+
         def fetch_one(i: int):
-            feats, labels = self.dataset[int(i)]
-            return feats, labels
+            if sample is not None:
+                rng = np.random.default_rng([self._rng_base, epoch, int(i)])
+                return sample(int(i), rng)
+            return self.dataset[int(i)]
 
         def producer():
             try:

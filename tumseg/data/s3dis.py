@@ -207,6 +207,31 @@ def _load_data_label(path: str) -> np.ndarray:
     raise ValueError(f"unknown file type {path}")
 
 
+def room2blocks_plus(data_label: np.ndarray, num_point: int,
+                     block_size: float, stride: float,
+                     random_sample: bool = False,
+                     sample_num: Optional[int] = None,
+                     sample_aug: int = 1, rng=None):
+    """room2blocks with RGB scaled to [0,1] but without the normalized-xyz
+    channels (indoor3d_util.py:212-221)."""
+    data = data_label[:, 0:6].copy()
+    data[:, 3:6] /= 255.0
+    label = data_label[:, -1].astype(np.uint8)
+    return room2blocks(data, label, num_point, block_size, stride,
+                       random_sample, sample_num, sample_aug, rng=rng)
+
+
+def room2blocks_wrapper(data_label_filename: str, num_point: int,
+                        block_size: float = 1.0, stride: float = 1.0,
+                        random_sample: bool = False,
+                        sample_num: Optional[int] = None,
+                        sample_aug: int = 1):
+    """File-path front end for room2blocks_plus (indoor3d_util.py:223-233)."""
+    return room2blocks_plus(_load_data_label(data_label_filename), num_point,
+                            block_size, stride, random_sample, sample_num,
+                            sample_aug)
+
+
 def room2blocks_wrapper_normalized(data_label_filename: str, num_point: int,
                                    block_size: float = 1.0, stride: float = 1.0,
                                    random_sample: bool = False,
@@ -241,6 +266,133 @@ def collect_bounding_box(anno_path: str, out_filename: str) -> None:
     with open(out_filename, "w") as f:
         for name, bb in zip(names, bboxes):
             f.write("%s %f %f %f %f %f %f\n" % (name, *bb))
+
+
+def collect_point_bounding_box(anno_path: str, out_filename: str,
+                               file_format: str = "txt") -> np.ndarray:
+    """Per-point [XYZRGBL, offset to instance-bbox center, bbox half-dims]
+    13-column table for one room, shifted to the room origin
+    (indoor3d_util.py:393-458)."""
+    rows = []
+    for f in sorted(glob.glob(os.path.join(anno_path, "*.txt"))):
+        cls = os.path.basename(f).split("_")[0]
+        if cls not in CLASS2LABEL:
+            cls = "clutter"
+        points = np.loadtxt(f)
+        xyz = points[:, 0:3]
+        lo, hi = xyz.min(axis=0), xyz.max(axis=0)
+        center, half = (lo + hi) / 2.0, (hi - lo) / 2.0
+        n = points.shape[0]
+        rows.append(np.concatenate([
+            points,
+            np.full((n, 1), CLASS2LABEL[cls], dtype=np.float64),
+            center - xyz,                      # offsets to box center
+            np.broadcast_to(half, (n, 3)),     # half-dimensions a, b, c
+        ], axis=1))
+    point_bbox = np.concatenate(rows, axis=0)
+    point_bbox[:, 0:3] -= point_bbox[:, 0:3].min(axis=0)
+
+    if file_format == "txt":
+        np.savetxt(out_filename, point_bbox,
+                   fmt="%f %f %f %d %d %d %d %f %f %f %f %f %f")
+    elif file_format == "numpy":
+        np.save(out_filename, point_bbox)
+    else:
+        raise ValueError(f"unknown file format {file_format}")
+    return point_bbox
+
+
+# Cube faces over corner-ordered vertices [(x,y,z+c),(x,y+b,z+c),(x+a,y+b,z+c),
+# (x+a,y,z+c),(x,y,z),(x,y+b,z),(x+a,y+b,z),(x+a,y,z)] — the reference's
+# exact face winding (indoor3d_util.py:435-441).
+_BOX_CORNERS = np.array([
+    [0, 0, 1], [0, 1, 1], [1, 1, 1], [1, 0, 1],
+    [0, 0, 0], [0, 1, 0], [1, 1, 0], [1, 0, 0],
+], dtype=np.float64)
+_BOX_FACES = [(4, 3, 2, 1), (1, 2, 6, 5), (7, 6, 2, 3),
+              (4, 8, 7, 3), (5, 8, 4, 1), (5, 6, 7, 8)]
+
+
+def _write_box(fout_obj, fout_mtl, corner: np.ndarray, dims: np.ndarray,
+               color, material: str, v_base: int) -> None:
+    fout_obj.write("usemtl %s\n" % material)
+    for v in corner + _BOX_CORNERS * dims:
+        fout_obj.write("v %f %f %f\n" % tuple(v))
+    fout_obj.write("g default\n")
+    for face in _BOX_FACES:
+        fout_obj.write("f %d %d %d %d\n" % tuple(i + v_base for i in face))
+    fout_obj.write("\n")
+    fout_mtl.write("newmtl %s\nKd %f %f %f\n\n" % (material, *color))
+
+
+def bbox_label_to_obj(input_filename: str, out_filename_prefix: str,
+                      easy_view: bool = False) -> None:
+    """One colored-box .obj + .mtl pair per instance from 'x1 y1 z1 x2 y2 z2
+    label' lines (indoor3d_util.py:393-460)."""
+    bbox_label = np.atleast_2d(np.loadtxt(input_filename))
+    labels = bbox_label[:, -1].astype(int)
+    ins_cnt = 0
+    for bb, label in zip(bbox_label[:, 0:6], labels):
+        if easy_view and label not in EASY_VIEW_LABELS:
+            continue
+        stem = f"{out_filename_prefix}_{S3DIS_CLASSES[label]}_{ins_cnt}"
+        color = np.array(LABEL2COLOR[label], dtype=float) / 255.0
+        with open(stem + ".obj", "w") as fo, open(stem + ".mtl", "w") as fm:
+            fo.write("mtllib %s\n" % os.path.basename(stem + ".mtl"))
+            _write_box(fo, fm, bb[0:3], bb[3:6] - bb[0:3], color,
+                       f"material{ins_cnt}", v_base=0)
+        ins_cnt += 1
+
+
+def bbox_label_to_obj_room(input_filename: str, out_filename_prefix: str,
+                           easy_view: bool = False, permute=None,
+                           center: bool = False,
+                           exclude_table: bool = False) -> None:
+    """All instance boxes of a room in one .obj + .mtl, with optional axis
+    permutation and unit-centering (indoor3d_util.py:462-539)."""
+    bbox_label = np.atleast_2d(np.loadtxt(input_filename))
+    bbox = bbox_label[:, 0:6].copy()
+    if permute is not None:
+        assert len(permute) == 3
+        permute = np.asarray(permute)
+        bbox[:, 0:3] = bbox[:, permute]
+        bbox[:, 3:6] = bbox[:, permute + 3]
+    if center:
+        xyz_max = bbox[:, 3:6].max(axis=0)
+        bbox[:, 0:3] -= xyz_max / 2.0
+        bbox[:, 3:6] -= xyz_max / 2.0
+        bbox /= np.max(xyz_max / 2.0)
+    labels = bbox_label[:, -1].astype(int)
+    table_label = CLASS2LABEL["table"]
+    with open(out_filename_prefix + ".obj", "w") as fo, \
+            open(out_filename_prefix + ".mtl", "w") as fm:
+        fo.write("mtllib %s\n"
+                 % os.path.basename(out_filename_prefix + ".mtl"))
+        v_cnt = ins_cnt = 0
+        for bb, label in zip(bbox, labels):
+            if easy_view and label not in EASY_VIEW_LABELS:
+                continue
+            if exclude_table and label == table_label:
+                continue
+            color = np.array(LABEL2COLOR[label], dtype=float) / 255.0
+            _write_box(fo, fm, bb[0:3], bb[3:6] - bb[0:3], color,
+                       f"material{ins_cnt}", v_base=v_cnt)
+            v_cnt += 8
+            ins_cnt += 1
+
+
+def data_to_obj(data: np.ndarray, name: str = "example.obj",
+                no_wall: bool = True) -> None:
+    """XYZRGBL array -> .obj vertex dump with the points' own RGB, optionally
+    skipping ceiling(0)/wall(2) (indoor3d_util.py:77-85)."""
+    data = np.asarray(data)
+    label = data[:, -1].astype(int)
+    keep = np.ones(data.shape[0], dtype=bool)
+    if no_wall:
+        keep = (label != 2) & (label != 0)
+    with open(name, "w") as fout:
+        for row in data[keep]:
+            fout.write("v %f %f %f %d %d %d\n" % tuple(row[0:6]))
 
 
 def point_label_to_obj(input_filename: str, out_filename: str,

@@ -1,5 +1,6 @@
 from tumseg.parallel.mesh import (  # noqa: F401
     batch_sharding,
+    initialize_distributed,
     make_mesh,
     replicated_sharding,
     shard_batch,

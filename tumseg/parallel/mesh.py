@@ -6,12 +6,15 @@ batch/block dimension over chips, parameters and batch-stats are replicated,
 and XLA inserts the ICI collectives (psum for grads and the cross-chip
 BatchNorm reduction) from the sharding annotations — no NCCL analogue.
 
-Multi-host pods extend the same mesh via jax.distributed.initialize();
-nothing else in the framework changes.
+Multi-host pods extend the same mesh via :func:`initialize_distributed`
+(a jax.distributed.initialize front end driven by --coordinator_address or
+the standard cluster env vars); nothing else in the framework changes —
+make_mesh() then spans every process's devices automatically.
 """
 
 from __future__ import annotations
 
+import os
 from typing import Optional, Sequence
 
 import jax
@@ -19,6 +22,40 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 DATA_AXIS = "data"
+
+_distributed_initialized = False
+
+
+def initialize_distributed(coordinator_address: Optional[str] = None,
+                           num_processes: Optional[int] = None,
+                           process_id: Optional[int] = None) -> bool:
+    """Join a multi-host JAX cluster (idempotent).
+
+    Call before any backend use, once per host process. Explicit arguments
+    win; otherwise jax's own auto-detection runs IF a cluster environment is
+    present (JAX_COORDINATOR_ADDRESS / TPU pod metadata / SLURM). With no
+    arguments and no cluster environment this is a no-op returning False, so
+    single-host runs (the default, and everything the reference supported)
+    pay nothing.
+    """
+    global _distributed_initialized
+    if _distributed_initialized:
+        return True
+    env_cluster = any(os.environ.get(k) for k in (
+        "JAX_COORDINATOR_ADDRESS", "COORDINATOR_ADDRESS",
+        "SLURM_JOB_ID", "TPU_WORKER_HOSTNAMES"))
+    if coordinator_address is None and not env_cluster:
+        return False
+    kwargs = {}
+    if coordinator_address is not None:
+        kwargs["coordinator_address"] = coordinator_address
+    if num_processes is not None:
+        kwargs["num_processes"] = num_processes
+    if process_id is not None:
+        kwargs["process_id"] = process_id
+    jax.distributed.initialize(**kwargs)
+    _distributed_initialized = True
+    return True
 
 
 def make_mesh(n_devices: Optional[int] = None,

@@ -4,53 +4,179 @@ Mirrors the reference's torch.save contract (localfunctions.py:229-239,
 310-322): a periodic ``model.pth`` every 5 epochs with
 {epoch, model_state_dict, optimizer_state_dict} and a best-mIoU checkpoint
 (default name ``best_model.pth``) additionally carrying ``class_avg_iou``.
-Here the state dict is the {params, batch_stats} pytree plus the optax
-optimizer state; arrays are materialized to NumPy so checkpoints are
-device-free and load anywhere.
+
+Unlike the reference (and tumseg round 1), the on-disk format is NOT a
+pickle: it is a zip of raw arrays (numpy .npz, ``allow_pickle=False``) plus
+a JSON manifest — nothing executable is ever deserialized, so loading an
+untrusted checkpoint cannot run code.
+
+- ``model_state_dict`` is stored as (path, array) pairs; the nested
+  dict/list pytree is rebuilt from the paths on load.
+- ``optimizer_state_dict`` is stored as ordered leaves only (optax states
+  are namedtuple chains whose *structure* the engine re-derives from
+  ``tx.init(params)`` at load time — reconstructing Python types from the
+  file is exactly the unsafe part of pickle we are avoiding). It round-trips
+  through :class:`OptLeaves` until the engine unflattens it.
 """
 
 from __future__ import annotations
 
+import json
 import os
-import pickle
-from typing import Any, Dict, Optional
+from typing import Any, Dict, List, Optional
 
 import jax
 import numpy as np
+
+FORMAT = "tumseg-ckpt-v2"
+
+
+class OptLeaves(list):
+    """Ordered optimizer-state leaves awaiting tree_unflatten by the engine."""
 
 
 def _to_host(tree):
     return jax.tree_util.tree_map(lambda x: np.asarray(x), tree)
 
 
+def _path_elems(path) -> List:
+    elems = []
+    for p in path:
+        if isinstance(p, jax.tree_util.DictKey):
+            elems.append(str(p.key))
+        elif isinstance(p, jax.tree_util.SequenceKey):
+            elems.append(int(p.idx))
+        else:
+            raise ValueError(f"unsupported pytree node in checkpoint: {p!r}")
+    return elems
+
+
+def _flatten_model(tree):
+    leaves, _ = jax.tree_util.tree_flatten_with_path(tree)
+    return [(_path_elems(path), np.asarray(leaf)) for path, leaf in leaves]
+
+
+def _insert(root, elems, value):
+    node = root
+    for i, e in enumerate(elems[:-1]):
+        nxt = elems[i + 1]
+        container = node[e] if _has(node, e) else None
+        if container is None:
+            container = [] if isinstance(nxt, int) else {}
+            _set(node, e, container)
+        node = container
+    _set(node, elems[-1], value)
+
+
+def _has(node, key):
+    if isinstance(node, list):
+        return key < len(node) and node[key] is not None
+    return key in node
+
+
+def _set(node, key, value):
+    if isinstance(node, list):
+        while len(node) <= key:
+            node.append(None)
+        node[key] = value
+    else:
+        node[key] = value
+
+
+def _unflatten_model(paths: List[List], arrays: List[np.ndarray]):
+    root: Dict = {}
+    for elems, arr in zip(paths, arrays):
+        _insert(root, elems, arr)
+    return root
+
+
 def save_checkpoint(path: str, *, epoch: int, variables: Dict,
                     opt_state: Any = None,
                     class_avg_iou: Optional[float] = None) -> None:
-    state = {
-        "epoch": epoch,
-        "model_state_dict": _to_host(variables),
-        "optimizer_state_dict": _to_host(opt_state) if opt_state is not None else None,
+    model_flat = _flatten_model(_to_host(variables))
+    opt_leaves = ([] if opt_state is None
+                  else [np.asarray(x)
+                        for x in jax.tree_util.tree_leaves(opt_state)])
+    manifest = {
+        "format": FORMAT,
+        "epoch": int(epoch),
+        "model_paths": [p for p, _ in model_flat],
+        "n_opt_leaves": len(opt_leaves),
+        "has_opt_state": opt_state is not None,
     }
     if class_avg_iou is not None:
-        state["class_avg_iou"] = float(class_avg_iou)
+        manifest["class_avg_iou"] = float(class_avg_iou)
+
+    arrays = {"__manifest__": np.frombuffer(
+        json.dumps(manifest).encode("utf-8"), dtype=np.uint8)}
+    for i, (_, arr) in enumerate(model_flat):
+        arrays[f"m{i}"] = arr
+    for i, arr in enumerate(opt_leaves):
+        arrays[f"o{i}"] = arr
+
     tmp = path + ".tmp"
     with open(tmp, "wb") as f:
-        pickle.dump(state, f)
+        np.savez(f, **arrays)
     os.replace(tmp, path)
 
 
 def load_checkpoint(path: str) -> Dict:
+    """Load a checkpoint into the torch-style
+    {epoch, model_state_dict, optimizer_state_dict(, class_avg_iou)} dict.
+    Never unpickles: round-1 pickle checkpoints are rejected with a
+    conversion hint."""
     with open(path, "rb") as f:
-        state = pickle.load(f)
+        head = f.read(4)
+    if head[:2] != b"PK":  # not a zip -> a legacy pickle or junk
+        raise ValueError(
+            f"{path} is not a {FORMAT} checkpoint (found a legacy pickle or "
+            "unknown file). Re-save it with tools/convert_legacy_checkpoint.py "
+            "from a trusted session; pickles are never loaded implicitly.")
+    with np.load(path, allow_pickle=False) as z:
+        manifest = json.loads(bytes(z["__manifest__"]).decode("utf-8"))
+        if manifest.get("format") != FORMAT:
+            raise ValueError(f"{path}: unknown checkpoint format "
+                             f"{manifest.get('format')!r}")
+        model = _unflatten_model(
+            manifest["model_paths"],
+            [z[f"m{i}"] for i in range(len(manifest["model_paths"]))])
+        opt = (OptLeaves(z[f"o{i}"]
+                         for i in range(manifest["n_opt_leaves"]))
+               if manifest["has_opt_state"] else None)
+    state = {
+        "epoch": manifest["epoch"],
+        "model_state_dict": model,
+        "optimizer_state_dict": opt,
+    }
+    if "class_avg_iou" in manifest:
+        state["class_avg_iou"] = manifest["class_avg_iou"]
     return state
 
 
 def restore_variables(state: Dict):
-    """Return (variables, opt_state, epoch) with arrays as jnp."""
+    """Return (variables, opt_state, epoch) with model arrays as jnp.
+    ``opt_state`` may be an :class:`OptLeaves` list — the engine unflattens
+    it against its optimizer's own structure (TrainEngine.load_state)."""
     import jax.numpy as jnp
 
     variables = jax.tree_util.tree_map(jnp.asarray, state["model_state_dict"])
     opt_state = state.get("optimizer_state_dict")
-    if opt_state is not None:
+    if opt_state is not None and not isinstance(opt_state, OptLeaves):
         opt_state = jax.tree_util.tree_map(jnp.asarray, opt_state)
     return variables, opt_state, state.get("epoch", 0)
+
+
+def unflatten_opt_state(template, leaves: OptLeaves):
+    """Rebuild an optimizer state from saved leaves using the structure of a
+    freshly initialized state (the engine's tx.init(params))."""
+    import jax.numpy as jnp
+
+    treedef = jax.tree_util.tree_structure(template)
+    expected = treedef.num_leaves
+    if len(leaves) != expected:
+        raise ValueError(
+            f"optimizer state has {len(leaves)} saved leaves but the "
+            f"engine's optimizer expects {expected} — optimizer or model "
+            "changed since the checkpoint was written")
+    return jax.tree_util.tree_unflatten(
+        treedef, [jnp.asarray(x) for x in leaves])

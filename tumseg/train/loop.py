@@ -176,8 +176,24 @@ class TrainEngine:
         variables, opt_state, epoch = ckpt.restore_variables(state)
         self.params = variables["params"]
         self.batch_stats = variables["batch_stats"]
+        if isinstance(opt_state, ckpt.OptLeaves):
+            # v2 checkpoints store optimizer leaves only; rebuild the optax
+            # structure from this engine's own optimizer (nothing but raw
+            # arrays ever comes off disk)
+            opt_state = ckpt.unflatten_opt_state(self.tx.init(self.params),
+                                                 opt_state)
         self.opt_state = (opt_state if opt_state is not None
                           else self.tx.init(self.params))
+        if self.mesh is not None:
+            # re-replicate restored state onto the mesh exactly like
+            # init_state, so the donated buffers of the sharded train step
+            # see the expected shardings (resume-on-mesh)
+            rep = pmesh.replicated_sharding(self.mesh)
+            put = lambda t: jax.tree_util.tree_map(
+                lambda x: jax.device_put(jnp.asarray(x), rep), t)
+            self.params = put(self.params)
+            self.batch_stats = put(self.batch_stats)
+            self.opt_state = put(self.opt_state)
         return epoch
 
     def variables(self) -> Dict:

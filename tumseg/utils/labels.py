@@ -84,7 +84,23 @@ def merge_to_8_classes(labels: np.ndarray) -> np.ndarray:
     lut = np.full(max(NEW_CLASS_MAPPING) + 1, -1, dtype=np.int64)
     for src, dst in NEW_CLASS_MAPPING.items():
         lut[src] = dst
-    return lut[labels]
+    out_of_range = (labels < 0) | (labels >= lut.size)
+    if out_of_range.any():
+        raise ValueError(
+            "unmappable LAS classification codes for the 8-class merge: "
+            f"{np.unique(labels[out_of_range]).tolist()}")
+    mapped = lut[labels]
+    # Codes with no 8-class destination (0 'total', 4 'balcony') would map to
+    # -1 and silently corrupt weight[target] / confusion tallies downstream;
+    # the reference fails loudly here (np.vectorize(dict.get) -> None crash),
+    # so we do too, with a better message.
+    bad = mapped < 0
+    if bad.any():
+        raise ValueError(
+            "LAS classification codes without an 8-class mapping: "
+            f"{np.unique(labels[bad]).tolist()} (0 'total' and 4 'balcony' "
+            "are not part of the merged taxonomy)")
+    return mapped
 
 
 def class_tables(class8: bool):

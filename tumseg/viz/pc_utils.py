@@ -82,53 +82,181 @@ def read_ply(path: str) -> np.ndarray:
     return np.stack([v["x"], v["y"], v["z"]], axis=1)
 
 
-def read_ply_full(path: str) -> Dict[str, np.ndarray]:
-    """Parse all elements of an ascii/binary_little_endian PLY file into
-    structured arrays keyed by element name."""
-    with open(path, "rb") as f:
-        if f.readline().strip() != b"ply":
-            raise ValueError(f"{path}: not a PLY file")
-        fmt = None
-        elements: List[Tuple[str, int, List[Tuple[str, str]]]] = []
-        while True:
-            line = f.readline()
-            if not line:
-                raise ValueError(f"{path}: unterminated header")
-            parts = line.decode("ascii").strip().split()
-            if not parts or parts[0] == "comment":
-                continue
-            if parts[0] == "format":
-                fmt = parts[1]
-            elif parts[0] == "element":
-                elements.append((parts[1], int(parts[2]), []))
-            elif parts[0] == "property":
-                if parts[1] == "list":
-                    raise ValueError("list properties not supported")
-                elements[-1][2].append((parts[2], _PLY_TYPES[parts[1]]))
-            elif parts[0] == "end_header":
-                break
-        if fmt not in ("ascii", "binary_little_endian"):
-            raise ValueError(f"unsupported PLY format {fmt}")
+# property spec: (name, item dtype code, count dtype code or None for scalar)
+_PropSpec = Tuple[str, str, object]
 
+
+def _parse_ply_header(f) -> Tuple[str, List[Tuple[str, int, List[_PropSpec]]]]:
+    if f.readline().strip() != b"ply":
+        raise ValueError("not a PLY file")
+    fmt = None
+    elements: List[Tuple[str, int, List[_PropSpec]]] = []
+    while True:
+        line = f.readline()
+        if not line:
+            raise ValueError("unterminated PLY header")
+        parts = line.decode("ascii").strip().split()
+        if not parts or parts[0] in ("comment", "obj_info"):
+            continue
+        if parts[0] == "format":
+            fmt = parts[1]
+        elif parts[0] == "element":
+            elements.append((parts[1], int(parts[2]), []))
+        elif parts[0] == "property":
+            if parts[1] == "list":
+                elements[-1][2].append(
+                    (parts[4], _PLY_TYPES[parts[3]], _PLY_TYPES[parts[2]]))
+            else:
+                elements[-1][2].append((parts[2], _PLY_TYPES[parts[1]], None))
+        elif parts[0] == "end_header":
+            break
+    if fmt not in ("ascii", "binary_little_endian", "binary_big_endian"):
+        raise ValueError(f"unsupported PLY format {fmt}")
+    return fmt, elements
+
+
+def _read_binary_element(f, count, props, bo):
+    has_list = any(cnt is not None for _, _, cnt in props)
+    if not has_list:
+        dtype = np.dtype([(p, bo + t) for p, t, _ in props])
+        return np.frombuffer(f.read(dtype.itemsize * count), dtype=dtype,
+                             count=count)
+    # variable-length rows: parse sequentially; list fields become object cols
+    dtype = np.dtype([(p, "O" if cnt is not None else t)
+                      for p, t, cnt in props])
+    rec = np.empty(count, dtype=dtype)
+    for i in range(count):
+        for p, t, cnt in props:
+            if cnt is None:
+                rec[i][p] = np.frombuffer(
+                    f.read(np.dtype(t).itemsize), dtype=bo + t)[0]
+            else:
+                n = int(np.frombuffer(f.read(np.dtype(cnt).itemsize),
+                                      dtype=bo + cnt)[0])
+                rec[i][p] = np.frombuffer(
+                    f.read(np.dtype(t).itemsize * n), dtype=bo + t, count=n)
+    return rec
+
+
+def _read_ascii_element(tokens, pos, count, props):
+    has_list = any(cnt is not None for _, _, cnt in props)
+    if not has_list:
+        ncol = len(props)
+        chunk = np.array(tokens[pos:pos + count * ncol], dtype=np.float64)
+        chunk = chunk.reshape(count, ncol)
+        rec = np.zeros(count, dtype=[(p, t) for p, t, _ in props])
+        for i, (p, _, _) in enumerate(props):
+            rec[p] = chunk[:, i]
+        return rec, pos + count * ncol
+    dtype = np.dtype([(p, "O" if cnt is not None else t)
+                      for p, t, cnt in props])
+    rec = np.empty(count, dtype=dtype)
+    for i in range(count):
+        for p, t, cnt in props:
+            if cnt is None:
+                rec[i][p] = np.array(tokens[pos], dtype=t)[()]
+                pos += 1
+            else:
+                n = int(tokens[pos])
+                pos += 1
+                rec[i][p] = np.array(tokens[pos:pos + n], dtype=t)
+                pos += n
+    return rec, pos
+
+
+def read_ply_full(path: str) -> Dict[str, np.ndarray]:
+    """Parse all elements of a PLY file (ascii, binary little- or big-endian,
+    scalar and list properties — the full capability surface of the
+    reference's vendored plyfile, /root/reference/visualizer/plyfile.py) into
+    structured arrays keyed by element name; list properties become object
+    columns of per-row arrays."""
+    with open(path, "rb") as f:
+        fmt, elements = _parse_ply_header(f)
         out = {}
-        if fmt == "binary_little_endian":
-            for name, count, props in elements:
-                dtype = np.dtype([(p, "<" + t) for p, t in props])
-                out[name] = np.frombuffer(f.read(dtype.itemsize * count),
-                                          dtype=dtype, count=count)
-        else:
-            body = f.read().decode("ascii").split()
+        if fmt == "ascii":
+            tokens = f.read().decode("ascii").split()
             pos = 0
             for name, count, props in elements:
-                ncol = len(props)
-                chunk = np.array(body[pos:pos + count * ncol], dtype=np.float64)
-                pos += count * ncol
-                chunk = chunk.reshape(count, ncol)
-                rec = np.zeros(count, dtype=[(p, t) for p, t in props])
-                for i, (p, _) in enumerate(props):
-                    rec[p] = chunk[:, i]
-                out[name] = rec
+                out[name], pos = _read_ascii_element(tokens, pos, count, props)
+        else:
+            bo = "<" if fmt == "binary_little_endian" else ">"
+            for name, count, props in elements:
+                out[name] = _read_binary_element(f, count, props, bo)
         return out
+
+
+_PLY_NAMES = {
+    "i1": "char", "u1": "uchar", "i2": "short", "u2": "ushort",
+    "i4": "int", "u4": "uint", "f4": "float", "f8": "double",
+}
+
+
+def _ply_type_name(dtype) -> str:
+    code = np.dtype(dtype).str.lstrip("<>=|")
+    if code not in _PLY_NAMES:
+        raise ValueError(f"dtype {dtype} not representable in PLY")
+    return _PLY_NAMES[code]
+
+
+def write_ply_full(filename: str, elements: Dict[str, np.ndarray],
+                   text: bool = True, byte_order: str = "<",
+                   comments=()) -> None:
+    """Write structured arrays as a multi-element PLY file (ascii or binary,
+    either endianness); object-dtype columns are written as list properties
+    with a uint count. Inverse of :func:`read_ply_full`."""
+    fmt = ("ascii" if text else
+           "binary_little_endian" if byte_order == "<"
+           else "binary_big_endian")
+    header = ["ply", f"format {fmt} 1.0"]
+    header += [f"comment {c}" for c in comments]
+    specs = {}
+    for name, rec in elements.items():
+        header.append(f"element {name} {rec.shape[0]}")
+        props = []
+        for p in rec.dtype.names:
+            if rec.dtype[p] == np.dtype("O"):
+                item = np.asarray(rec[p][0]).dtype if rec.shape[0] else "f4"
+                header.append(
+                    f"property list uint {_ply_type_name(item)} {p}")
+                props.append((p, np.dtype(item).str.lstrip("<>=|"), "u4"))
+            else:
+                header.append(f"property {_ply_type_name(rec.dtype[p])} {p}")
+                props.append((p, rec.dtype[p].str.lstrip("<>=|"), None))
+        specs[name] = props
+    header.append("end_header")
+
+    with open(filename, "wb") as f:
+        f.write(("\n".join(header) + "\n").encode("ascii"))
+        for name, rec in elements.items():
+            props = specs[name]
+            if text:
+                for row in rec:
+                    cells = []
+                    for p, _, cnt in props:
+                        v = row[p]
+                        if cnt is None:
+                            cells.append(str(v))
+                        else:
+                            arr = np.asarray(v)
+                            cells.append(" ".join(
+                                [str(arr.size)] + [str(x) for x in arr]))
+                    f.write((" ".join(cells) + "\n").encode("ascii"))
+            elif all(cnt is None for _, _, cnt in props):
+                dtype = np.dtype([(p, byte_order + t) for p, t, _ in props])
+                f.write(rec.astype(dtype).tobytes())
+            else:
+                for row in rec:
+                    for p, t, cnt in props:
+                        v = row[p]
+                        if cnt is None:
+                            f.write(np.asarray(v, dtype=byte_order + t)
+                                    .tobytes())
+                        else:
+                            arr = np.asarray(v, dtype=byte_order + t)
+                            f.write(np.asarray(arr.size,
+                                               dtype=byte_order + cnt)
+                                    .tobytes())
+                            f.write(arr.tobytes())
 
 
 def write_ply(points: np.ndarray, filename: str, text: bool = True) -> None:
@@ -211,3 +339,44 @@ def point_cloud_three_views(points: np.ndarray) -> np.ndarray:
     img2 = draw_point_cloud(points, zrot=70 * deg, xrot=135 * deg, yrot=0)
     img3 = draw_point_cloud(points, zrot=180 * deg, xrot=90 * deg, yrot=0)
     return np.concatenate([img1, img2, img3], axis=1)
+
+
+def point_cloud_three_views_demo(points: np.ndarray,
+                                 output_filename: str = "example.jpg") -> str:
+    """Save a three-view render of a cloud as a JPEG (the reference demo at
+    pc_utils.py:173-181, minus its hardcoded ShapeNet loader — the cloud is
+    an argument here)."""
+    from PIL import Image
+
+    im_array = point_cloud_three_views(np.asarray(points))
+    img = Image.fromarray(np.uint8(im_array * 255.0))
+    img.save(output_filename)
+    return output_filename
+
+
+# ----------------------------------------------------------------------
+# Matplotlib 3D previews (reference pc_utils.py:190-207; unlike the
+# reference, savefig is actually called so the output file exists)
+# ----------------------------------------------------------------------
+
+def pyplot_draw_point_cloud(points: np.ndarray, output_filename: str) -> None:
+    """Scatter an [N,3] cloud in a 3D axes and save it to a file."""
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    points = np.asarray(points)
+    fig = plt.figure()
+    ax = fig.add_subplot(111, projection="3d")
+    ax.scatter(points[:, 0], points[:, 1], points[:, 2])
+    ax.set_xlabel("x")
+    ax.set_ylabel("y")
+    ax.set_zlabel("z")
+    fig.savefig(output_filename)
+    plt.close(fig)
+
+
+def pyplot_draw_volume(vol: np.ndarray, output_filename: str) -> None:
+    """Scatter-plot the occupied voxels of a [v,v,v] volume to a file."""
+    pyplot_draw_point_cloud(volume_to_point_cloud(vol), output_filename)
