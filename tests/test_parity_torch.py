@@ -95,6 +95,55 @@ def test_pointnet_forward_parity(extra):
     assert (np.asarray(got).argmax(-1) == ref_out.numpy().argmax(-1)).all()
 
 
+def test_msg_set_abstraction_parity(monkeypatch):
+    """set_abstraction_msg matches the reference PointNetSetAbstractionMsg
+    (/root/reference/models/pointnet2_utils.py:205-262) with ported weights:
+    same FPS centroids (start pinned), per-radius grouping, channel order
+    [points, centered xyz], per-scale MLP + K-max, scale concat."""
+    _deterministic_randint(monkeypatch)
+    import importlib
+
+    from tools.port_torch_checkpoint import _mlp_stack
+    from tumseg.nn import layers as L
+
+    utils = importlib.import_module("models.pointnet2_utils")
+    torch.manual_seed(11)
+    npoint, radius_list, nsample_list = 128, [0.1, 0.2], [8, 16]
+    in_channel, mlp_list = 6, [[16, 32], [16, 32]]
+    ref = utils.PointNetSetAbstractionMsg(
+        npoint, radius_list, nsample_list, in_channel, mlp_list).eval()
+
+    state = {k: v.detach().numpy() for k, v in ref.state_dict().items()}
+    params, stats = [], []
+    for i in range(len(mlp_list)):
+        p, s = _mlp_stack(state, f"conv_blocks.{i}", f"bn_blocks.{i}")
+        params.append(p)
+        stats.append(s)
+
+    r = np.random.default_rng(3)
+    B, N = 2, 512
+    xyz = r.random((B, N, 3)).astype(np.float32)
+    points = r.random((B, N, in_channel)).astype(np.float32)
+
+    with torch.no_grad():
+        ref_xyz, ref_out = ref(
+            torch.from_numpy(xyz).transpose(2, 1),
+            torch.from_numpy(points).transpose(2, 1))
+
+    cfg = dict(npoint=npoint, radius_list=radius_list,
+               nsample_list=nsample_list)
+    params = jax.tree_util.tree_map(jnp.asarray, params)
+    stats = jax.tree_util.tree_map(jnp.asarray, stats)
+    new_xyz, out, _ = L.set_abstraction_msg(
+        params, stats, cfg, jnp.asarray(xyz), jnp.asarray(points),
+        training=False, momentum=0.1)
+
+    np.testing.assert_allclose(np.asarray(new_xyz),
+                               ref_xyz.transpose(2, 1).numpy(), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(out),
+                               ref_out.transpose(2, 1).numpy(), atol=2e-4)
+
+
 def test_pointnet2_gradient_parity(monkeypatch):
     """Same weights + same batch -> same parameter gradients (eval-mode BN,
     no dropout), proving the training dynamics match the reference."""

@@ -279,9 +279,10 @@ def test_initialize_distributed_wiring(monkeypatch):
     from tumseg.parallel import mesh as pmesh
 
     monkeypatch.setattr(pmesh, "_distributed_initialized", False)
-    for var in ("JAX_COORDINATOR_ADDRESS", "COORDINATOR_ADDRESS",
-                "SLURM_JOB_ID", "TPU_WORKER_HOSTNAMES"):
-        monkeypatch.delenv(var, raising=False)
+    monkeypatch.delenv("TUMSEG_COORDINATOR_ADDRESS", raising=False)
+    # must stay a no-op even in this image's tunneled-TPU env, which exports
+    # pod-looking vars (TPU_WORKER_HOSTNAMES) in single-host sessions
+    monkeypatch.setenv("TPU_WORKER_HOSTNAMES", "fake-host-0,fake-host-1")
     calls = []
     monkeypatch.setattr(jax.distributed, "initialize",
                         lambda **kw: calls.append(kw))

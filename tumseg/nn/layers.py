@@ -186,22 +186,31 @@ def set_abstraction_msg(params, stats, cfg: dict, xyz: jnp.ndarray,
                         points: Optional[jnp.ndarray], *, training: bool,
                         momentum, fps_start=None, compute_dtype=None,
                         axis_name=None, fast_gather=None):
-    # fast_gather accepted for API uniformity; MSG grouping currently uses
-    # the XLA gather path (per-radius K differs, no fused kernel yet)
     """MSG: one FPS, then per-radius ball-query + MLP + K-max, concatenated
-    over scales on the channel axis."""
+    over scales on the channel axis (reference pointnet2_utils.py:205-262).
+
+    TPU path: each radius's neighborhood gather runs through the same fused
+    one-hot-contraction grouping kernel as SSG (ops.group_neighborhoods
+    takes arbitrary K), so no XLA dynamic gather appears anywhere in the MSG
+    forward. Channel order matches the reference's MSG concat —
+    [points, centered xyz] — so torch MSG weights port unchanged.
+    """
+    if fast_gather is None:
+        fast_gather = compute_dtype is not None
     S = cfg["npoint"]
     fps_idx = ops.farthest_point_sample(xyz, S, start=fps_start)
     new_xyz = ops.index_points(xyz, fps_idx)
+    src = jnp.concatenate([xyz, points], axis=-1) if points is not None else xyz
     outs, new_stats = [], []
     for i, (radius, K) in enumerate(zip(cfg["radius_list"], cfg["nsample_list"])):
         idx = ops.query_ball_point(radius, K, xyz, new_xyz)
-        grouped_xyz = ops.index_points(xyz, idx) - new_xyz[:, :, None, :]
+        grouped = ops.group_neighborhoods(idx, src, new_xyz,
+                                          fast_gather=fast_gather)
         if points is not None:
-            grouped = jnp.concatenate(
-                [ops.index_points(points, idx), grouped_xyz], axis=-1)
-        else:
-            grouped = grouped_xyz
+            # kernel emits [centered xyz, points]; MSG's reference order is
+            # [points, centered xyz]
+            grouped = jnp.concatenate([grouped[..., 3:], grouped[..., :3]],
+                                      axis=-1)
         feat, s = mlp_stack(params[i], stats[i], grouped, training=training,
                             momentum=momentum, compute_dtype=compute_dtype,
                             axis_name=axis_name)

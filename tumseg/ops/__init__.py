@@ -76,6 +76,23 @@ _FPS_PALLAS_MIN = 4096            # N * npoint
 _BALLQUERY_PALLAS_MIN = 10 ** 4   # N * S
 
 
+def group_neighborhoods(idx, src, new_xyz, fast_gather=False):
+    """Gather src rows ([B,N,3+D], xyz-first) by idx [B,S,K] and center the
+    first 3 channels on new_xyz -> [B,S,K,3+D]. Fused Pallas kernel on TPU
+    (one one-hot MXU contraction, no XLA dynamic gather); XLA composition
+    elsewhere."""
+    import jax.numpy as jnp
+
+    if _use_pallas():
+        try:
+            return _pallas().group_points(idx, src, new_xyz, fast=fast_gather)
+        except NotImplementedError:
+            pass
+    grouped = index_points(src, idx)
+    center = jnp.pad(new_xyz, [(0, 0), (0, 0), (0, src.shape[-1] - 3)])
+    return grouped - center[:, :, None, :]
+
+
 def sample_and_group(npoint, radius, nsample, xyz, points, fps_start=None,
                      fast_gather=False):
     import jax.numpy as jnp
@@ -83,22 +100,10 @@ def sample_and_group(npoint, radius, nsample, xyz, points, fps_start=None,
     fps_idx = farthest_point_sample(xyz, npoint, start=fps_start)
     new_xyz = index_points(xyz, fps_idx)
     idx = query_ball_point(radius, nsample, xyz, new_xyz)
-    if _use_pallas():
-        try:
-            src = (jnp.concatenate([xyz, points], axis=-1)
-                   if points is not None else xyz)
-            return new_xyz, _pallas().group_points(idx, src, new_xyz,
-                                                   fast=fast_gather)
-        except NotImplementedError:
-            pass
-    grouped_xyz = index_points(xyz, idx)
-    grouped_xyz_norm = grouped_xyz - new_xyz[:, :, None, :]
-    if points is not None:
-        grouped_points = index_points(points, idx)
-        new_points = jnp.concatenate([grouped_xyz_norm, grouped_points], axis=-1)
-    else:
-        new_points = grouped_xyz_norm
-    return new_xyz, new_points
+    src = (jnp.concatenate([xyz, points], axis=-1)
+           if points is not None else xyz)
+    return new_xyz, group_neighborhoods(idx, src, new_xyz,
+                                        fast_gather=fast_gather)
 
 
 def three_nn_dispatch(xyz1, xyz2):

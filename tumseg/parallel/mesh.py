@@ -31,24 +31,21 @@ def initialize_distributed(coordinator_address: Optional[str] = None,
                            process_id: Optional[int] = None) -> bool:
     """Join a multi-host JAX cluster (idempotent).
 
-    Call before any backend use, once per host process. Explicit arguments
-    win; otherwise jax's own auto-detection runs IF a cluster environment is
-    present (JAX_COORDINATOR_ADDRESS / TPU pod metadata / SLURM). With no
-    arguments and no cluster environment this is a no-op returning False, so
-    single-host runs (the default, and everything the reference supported)
-    pay nothing.
+    Call before any backend use, once per host process. Strictly explicit
+    opt-in: joins only when --coordinator_address is passed or
+    TUMSEG_COORDINATOR_ADDRESS is set (broad env sniffing is a trap — this
+    image's TPU tunnel exports pod-looking vars like TPU_WORKER_HOSTNAMES in
+    single-host sessions). Otherwise a no-op returning False, so single-host
+    runs (the default, and everything the reference supported) pay nothing.
     """
     global _distributed_initialized
     if _distributed_initialized:
         return True
-    env_cluster = any(os.environ.get(k) for k in (
-        "JAX_COORDINATOR_ADDRESS", "COORDINATOR_ADDRESS",
-        "SLURM_JOB_ID", "TPU_WORKER_HOSTNAMES"))
-    if coordinator_address is None and not env_cluster:
+    if coordinator_address is None:
+        coordinator_address = os.environ.get("TUMSEG_COORDINATOR_ADDRESS")
+    if coordinator_address is None:
         return False
-    kwargs = {}
-    if coordinator_address is not None:
-        kwargs["coordinator_address"] = coordinator_address
+    kwargs = {"coordinator_address": coordinator_address}
     if num_processes is not None:
         kwargs["num_processes"] = num_processes
     if process_id is not None:
