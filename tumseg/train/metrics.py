@@ -53,6 +53,8 @@ def zero_tallies(num_classes: int):
 
 
 def accumulate(acc, tallies):
+    # device-side adds: an np.asarray here would force a host readback per
+    # eval batch (the report-side helpers materialize once at epoch end)
     for k in acc:
-        acc[k] = acc[k] + np.asarray(tallies[k], dtype=np.int64)
+        acc[k] = acc[k] + tallies[k]
     return acc
