@@ -176,6 +176,18 @@ def main():
 
         bench.run("forward B32", fwd, x, chain=5)
 
+    if want("msg"):
+        msg = models.get_module("pointnet2_sem_seg_msg")
+        msg_vars = msg.init(jax.random.PRNGKey(0), 8, 0)
+        xm = jnp.asarray(r.random((B, 4096, 6)), jnp.float32)
+
+        def msg_fwd(x):
+            logp, _, _ = msg.apply(msg_vars, x, training=False,
+                                   compute_dtype=jnp.bfloat16)
+            return logp
+
+        bench.run("msg_forward B32", msg_fwd, xm, chain=5)
+
     if want("train"):
         from tumseg.train import TrainEngine
 

@@ -176,6 +176,22 @@ def test_group_points_grad_matches_xla():
     np.testing.assert_allclose(np.asarray(gp), np.asarray(gx), atol=1e-3)
 
 
+def test_gather_rows_exact(monkeypatch):
+    """ops.gather_rows (the post-FPS centroid gather) is bit-exact against
+    index_points on the kernel path."""
+    from tumseg import ops
+
+    rng = np.random.default_rng(9)
+    B, N, S = 2, 512, 128
+    xyz = jnp.asarray(rng.random((B, N, 3)), jnp.float32)
+    idx = jnp.asarray(rng.integers(0, N, (B, S)), jnp.int32)
+    want = np.asarray(xla_ops.index_points(xyz, idx))
+    monkeypatch.setattr(ops, "_IMPL", "pallas")
+    monkeypatch.setattr(ops, "_GATHER_ROWS_PALLAS_MIN", 0)
+    got = np.asarray(ops.gather_rows(xyz, idx))
+    np.testing.assert_array_equal(got, want)
+
+
 def test_fps_pallas_batch_tiling():
     """Batches larger than one VMEM tile split over the grid."""
     from tumseg.ops.pallas import fps as fps_mod

@@ -1,0 +1,229 @@
+#!/usr/bin/env python
+"""Trained-model mIoU parity: torch reference vs tumseg, same data + config.
+
+Trains BOTH systems from scratch on the same synthetic facade tiles with the
+reference's training semantics (Adam 1e-3 / wd 1e-4, z-rotation augmentation,
+weighted NLL, localfunctions.py:159-334), then runs BOTH voting testers on
+the same held-out tile and reports mIoU side by side. The reference pipeline
+itself cannot run here (laspy is not installed), so the torch side uses the
+reference MODEL + reference loop semantics (models/pointnet2_sem_seg.py,
+localfunctions.py:349-479 voting) fed by tumseg's data plumbing — the same
+blocks both sides see.
+
+Usage:  python tools/miou_parity.py [--epochs 6] [--npoint 512] [--seed 0]
+Writes a JSON line with {"miou_torch", "miou_tumseg", "delta"}; the result
+is recorded in PARITY.md.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+sys.path.insert(0, __file__.rsplit("/", 2)[0])
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_compilation_cache_dir", "/tmp/tumseg_jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+import numpy as np  # noqa: E402
+
+
+def make_tiles(tmpdir: str, seed: int):
+    """Facade-like tiles whose labels are a learnable function of geometry.
+
+    Raw 18-class codes (merged to 8 by --class8): wall(1), window(2),
+    door(3), molding(5), terrain(12)."""
+    from tumseg.data.las import write_las
+
+    paths = []
+    r = np.random.default_rng(seed)
+    for i, name in enumerate(["a.las", "b.las", "t.las"]):
+        n = 14000
+        x = r.uniform(0, 2.0, n)
+        y = r.uniform(0, 1.0, n)
+        z = r.uniform(0, 2.5, n)
+        labels = np.full(n, 1)                              # wall
+        labels[z < 0.3] = 12                                # terrain
+        win = ((np.floor(x / 0.5) % 2 == 0) & (np.floor(z / 0.7) % 2 == 1)
+               & (z > 0.8))
+        labels[win] = 2                                     # window grid
+        labels[(np.abs(x - 1.0) < 0.12) & (z < 0.9) & (z >= 0.3)] = 3  # door
+        labels[np.abs(z - 1.6) < 0.06] = 5                  # molding band
+        p = f"{tmpdir}/{name}"
+        write_las(p, np.stack([x, y, z], 1), labels)
+        paths.append(p)
+    return paths[:2], paths[2]
+
+
+def train_test_tumseg(train_paths, test_path, args, tmpdir):
+    from tumseg.cli import test as test_cli
+    from tumseg.cli import train as train_cli
+
+    common = [
+        "--rootdir", tmpdir, "--test_area", test_path.rsplit("/", 1)[1],
+        "--model", "pointnet2_sem_seg", "--class8", "--RGB_OFF",
+        "--exp_dir", f"{tmpdir}/log", "--log_dir", "parity",
+        "--seed", str(args.seed),
+    ]
+    targs = train_cli.parse_args(common + [
+        "--epoch", str(args.epochs), "--batch_size", str(args.batch),
+        "--npoint", str(args.npoint)])
+    train_cli.main(targs)
+    eargs = test_cli.parse_args(common + [
+        "--exp_dir", f"{tmpdir}/log/sem_seg/",
+        "--batch_size", str(args.batch), "--num_point", str(args.npoint),
+        "--num_votes", str(args.votes)])
+    out = test_cli.main(eargs)
+    return float(out["miou"])
+
+
+def train_test_torch(train_paths, test_path, args):
+    import importlib
+    import os
+
+    import torch
+    import torch.nn.functional as F
+
+    sys.path.insert(0, "/root/reference")
+    sys.path.insert(0, "/root/reference/models")
+    ref_mod = importlib.import_module("models.pointnet2_sem_seg")
+
+    from tumseg.data import augment
+    from tumseg.data.dataset import TestGridDataset, TrainBlockDataset
+    from tumseg.data.loader import BatchLoader
+    from tumseg.train import metrics as M
+
+    torch.manual_seed(args.seed)
+    ds = TrainBlockDataset(train_paths, num_classes=8, num_point=args.npoint,
+                           color=False, class8=True, seed=args.seed)
+    # identical 70/30 sample split to tumseg's CLI (cli/train.py:145)
+    n = len(ds)
+    perm = np.random.default_rng(args.seed).permutation(n)
+    tr = ds.copy(indices=perm[: int(0.7 * n)])
+    ev = ds.copy(indices=perm[int(0.7 * n):])
+    weights = tr.calculate_labelweights()
+    loader = BatchLoader(tr, batch_size=args.batch, shuffle=True,
+                         drop_last=True, num_workers=4, seed=args.seed)
+    eval_loader = BatchLoader(ev, batch_size=args.batch, shuffle=False,
+                              drop_last=True, num_workers=4,
+                              seed=args.seed + 1)
+
+    model = ref_mod.get_model(8, 0)
+
+    def weights_init(m):  # reference init: xavier on Conv2d/Linear ONLY
+        name = m.__class__.__name__
+        if name.find("Conv2d") != -1 or name.find("Linear") != -1:
+            torch.nn.init.xavier_normal_(m.weight.data)
+            torch.nn.init.constant_(m.bias.data, 0.0)
+
+    model.apply(weights_init)
+    criterion = ref_mod.get_loss()
+    opt = torch.optim.Adam(model.parameters(), lr=1e-3, betas=(0.9, 0.999),
+                           eps=1e-8, weight_decay=1e-4)
+    tw = torch.from_numpy(weights.astype(np.float32))
+    rng = np.random.default_rng(args.seed)
+
+    def eval_miou():
+        model.eval()
+        tall = {k: np.zeros(8, np.int64)
+                for k in ("seen", "predicted", "correct")}
+        with torch.no_grad():
+            for feats, labels in eval_loader:
+                x = torch.from_numpy(feats).float().transpose(2, 1)
+                pred, _ = model(x)
+                cls = pred.argmax(-1).numpy().ravel()
+                gt = labels.ravel()
+                tall["seen"] += np.bincount(gt, minlength=8)
+                tall["predicted"] += np.bincount(cls, minlength=8)
+                tall["correct"] += np.bincount(gt[cls == gt], minlength=8)
+        model.train()
+        return M.miou_from_tallies(tall)
+
+    best_miou, best_state = -1.0, None
+    for epoch in range(args.epochs):
+        model.train()
+        losses = []
+        for feats, labels in loader:
+            pts = feats.copy()
+            pts[:, :, :3] = augment.rotate_point_cloud_z(pts[:, :, :3],
+                                                         rng=rng)
+            x = torch.from_numpy(pts).float().transpose(2, 1)
+            t = torch.from_numpy(labels).long()
+            opt.zero_grad()
+            pred, trans = model(x)
+            loss = criterion(pred.reshape(-1, 8), t.reshape(-1), trans, tw)
+            loss.backward()
+            opt.step()
+            losses.append(float(loss))
+        m = eval_miou()
+        if m >= best_miou:  # best-checkpoint selection, like the reference
+            best_miou = m
+            best_state = {k: v.detach().clone()
+                          for k, v in model.state_dict().items()}
+        print(f"[torch] epoch {epoch}: loss {np.mean(losses):.4f} "
+              f"eval mIoU {m:.4f}", flush=True)
+    model.load_state_dict(best_state)
+
+    # ---- voting test, reference semantics (localfunctions.py:349-421) ----
+    model = model.eval()
+    tds = TestGridDataset(las_file_list=[test_path], num_classes=8,
+                          block_points=args.npoint, color=False, class8=True,
+                          seed=args.seed)
+    scene_n = tds.scene_points_list[0].shape[0]
+    vote_pool = np.zeros((scene_n, 8))
+    with torch.no_grad():
+        for _ in range(args.votes):
+            data, labels, smpw, pidx = tds[0]
+            for s in range(0, data.shape[0], args.batch):
+                xb = torch.from_numpy(
+                    data[s:s + args.batch]).float().transpose(2, 1)
+                pred, _ = model(xb)
+                cls = pred.argmax(-1).numpy()
+                for b in range(cls.shape[0]):
+                    np.add.at(vote_pool, pidx[s + b].astype(int),
+                              np.eye(8)[cls[b]])
+    pred_label = vote_pool.argmax(1)
+    gt = np.asarray(tds.semantic_labels_list[0])
+    tallies = {
+        "seen": np.bincount(gt, minlength=8),
+        "predicted": np.bincount(pred_label, minlength=8),
+        "correct": np.bincount(gt[pred_label == gt], minlength=8),
+    }
+    return M.miou_from_tallies(tallies)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--epochs", type=int, default=6)
+    ap.add_argument("--npoint", type=int, default=512)
+    ap.add_argument("--batch", type=int, default=8)
+    ap.add_argument("--votes", type=int, default=2)
+    ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--workdir", default=None)
+    args = ap.parse_args()
+
+    import os
+    import tempfile
+
+    tmpdir = args.workdir or tempfile.mkdtemp(prefix="miou_parity_")
+    os.makedirs(tmpdir, exist_ok=True)
+    os.chdir(tmpdir)
+    train_paths, test_path = make_tiles(tmpdir, args.seed)
+
+    miou_tumseg = train_test_tumseg(train_paths, test_path, args, tmpdir)
+    miou_torch = train_test_torch(train_paths, test_path, args)
+
+    print(json.dumps({
+        "miou_torch": round(miou_torch, 4),
+        "miou_tumseg": round(miou_tumseg, 4),
+        "delta_pts": round((miou_tumseg - miou_torch) * 100, 2),
+        "config": vars(args),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -69,10 +69,15 @@ class InferenceRunner:
     def predict_blocks(self, scene_data: np.ndarray) -> np.ndarray:
         """scene_data [num_blocks, N, C] -> predicted labels [num_blocks, N].
         Pads the block axis up to a batch multiple; padded rows are dropped."""
-        num_blocks = scene_data.shape[0]
-        preds = []
+        preds = [np.asarray(p[:real])
+                 for p, real in self._predict_chunks(scene_data)]
+        return np.concatenate(preds, axis=0)
+
+    def _predict_chunks(self, scene_data: np.ndarray):
+        """Yield (device predictions [bs, N], real_rows) per batch chunk —
+        no host readback; callers decide when to materialize."""
         bs = self.batch_size
-        for s in range(0, num_blocks, bs):
+        for s in range(0, scene_data.shape[0], bs):
             chunk = scene_data[s:s + bs]
             real = chunk.shape[0]
             if real < bs:
@@ -80,9 +85,7 @@ class InferenceRunner:
             x = jnp.asarray(chunk, dtype=jnp.float32)
             if self._sharding is not None:
                 x = jax.device_put(x, self._sharding)
-            p = self._forward(self.variables, x)
-            preds.append(np.asarray(p[:real]))
-        return np.concatenate(preds, axis=0)
+            yield self._forward(self.variables, x), real
 
     def infer_scene(self, dataset, scene_idx: int, num_votes: int = 5,
                     gt_weight_gate: bool = True,
@@ -98,17 +101,30 @@ class InferenceRunner:
         # sem_seg_testing.py:182-254 — the host-side hot path)
         executor = ThreadPoolExecutor(max_workers=1)
         fut = executor.submit(dataset.__getitem__, scene_idx)
+        bs = self.batch_size
         for vote in range(num_votes):
             scene_data, scene_label, scene_smpw, scene_index = fut.result()
             if vote + 1 < num_votes:
                 fut = executor.submit(dataset.__getitem__, scene_idx)
-            pred = self.predict_blocks(scene_data)
             if gt_weight_gate:
                 keep = (scene_smpw != 0) & ~np.isinf(scene_smpw)
             else:
                 keep = np.ones_like(scene_smpw, dtype=bool)
-            pool = _scatter_votes(pool, jnp.asarray(scene_index.astype(np.int32)),
-                                  jnp.asarray(pred), jnp.asarray(keep))
+            # scatter each chunk's device predictions straight into the
+            # device pool: predictions never visit the host (each readback
+            # costs ~26 ms through this image's TPU tunnel), padded rows
+            # vote with keep=False
+            for ci, (pred, real) in enumerate(
+                    self._predict_chunks(scene_data)):
+                s = ci * bs
+                idx_c = scene_index[s:s + bs].astype(np.int32)
+                keep_c = keep[s:s + bs]
+                if real < pred.shape[0]:
+                    pad = pred.shape[0] - real
+                    idx_c = np.pad(idx_c, [(0, pad), (0, 0)])
+                    keep_c = np.pad(keep_c, [(0, pad), (0, 0)])
+                pool = _scatter_votes(pool, jnp.asarray(idx_c),
+                                      pred, jnp.asarray(keep_c))
         executor.shutdown(wait=False)
         return np.asarray(jnp.argmax(pool, axis=1))
 

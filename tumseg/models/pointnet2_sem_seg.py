@@ -52,9 +52,11 @@ def init(key, num_classes: int, num_extra_features: int) -> Dict:
     for i, cfg in zip([4, 3, 2, 1], FP_CFGS):
         params[f"fp{i}"], stats[f"fp{i}"] = L.feature_propagation_init(
             keys[3 + i], cfg["in_channel"], cfg["mlp"])
-    params["conv1"] = L.dense_init(keys[8], 128, 128)
+    # head convs are Conv1d upstream: untouched by the reference's
+    # weights_init, so torch-default init (see L.dense_init_torch_default)
+    params["conv1"] = L.dense_init_torch_default(keys[8], 128, 128)
     params["bn1"], stats["bn1"] = L.batchnorm_init(128)
-    params["conv2"] = L.dense_init(keys[9], 128, num_classes)
+    params["conv2"] = L.dense_init_torch_default(keys[9], 128, num_classes)
     return {"params": params, "batch_stats": stats}
 
 

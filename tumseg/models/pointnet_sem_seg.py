@@ -25,7 +25,9 @@ def init(key, num_classes: int, num_extra_features: int) -> Dict:
         keys[0], channel, feature_transform=True)
     dims = [(1088, 512), (512, 256), (256, 128), (128, num_classes)]
     for i, (din, dout) in enumerate(dims, start=1):
-        params[f"conv{i}"] = L.dense_init(keys[i], din, dout)
+        # head convs are Conv1d upstream (pointnet_sem_seg.py:16-19):
+        # untouched by the reference's weights_init -> torch-default init
+        params[f"conv{i}"] = L.dense_init_torch_default(keys[i], din, dout)
         if i < 4:
             params[f"bn{i}"], stats[f"bn{i}"] = L.batchnorm_init(dout)
     return {"params": params, "batch_stats": stats}

@@ -36,10 +36,27 @@ Pytree = Dict
 
 def dense_init(key, in_dim: int, out_dim: int) -> Pytree:
     """Xavier-normal weight + zero bias, the reference's weights_init
-    (/root/reference/sem_seg_training.py:553-560)."""
+    (/root/reference/sem_seg_training.py:553-560) — applied upstream to
+    Conv2d and Linear layers only."""
     std = jnp.sqrt(2.0 / (in_dim + out_dim))
     w = std * jax.random.normal(key, (in_dim, out_dim), dtype=jnp.float32)
     return {"w": w, "b": jnp.zeros((out_dim,), dtype=jnp.float32)}
+
+
+def dense_init_torch_default(key, in_dim: int, out_dim: int) -> Pytree:
+    """torch's default Conv1d/Linear init: kaiming_uniform(a=sqrt(5)) =
+    U(+-1/sqrt(fan_in)) for the weight AND the bias. The reference's
+    weights_init only re-inits Conv2d/Linear, so its Conv1d layers (all FP
+    stages, the segmentation heads, the PointNet encoder convs) train from
+    THIS distribution — replicating it matters for trained-model mIoU
+    parity (tools/miou_parity.py)."""
+    bound = 1.0 / jnp.sqrt(jnp.float32(in_dim))
+    kw, kb = jax.random.split(key)
+    w = jax.random.uniform(kw, (in_dim, out_dim), dtype=jnp.float32,
+                           minval=-bound, maxval=bound)
+    b = jax.random.uniform(kb, (out_dim,), dtype=jnp.float32,
+                           minval=-bound, maxval=bound)
+    return {"w": w, "b": b}
 
 
 def dense(params: Pytree, x: jnp.ndarray,
@@ -111,13 +128,17 @@ def dropout(key, x: jnp.ndarray, rate: float, training: bool) -> jnp.ndarray:
 # shared MLP stack: [dense -> BN -> ReLU] * L over the last axis
 # --------------------------------------------------------------------------
 
-def mlp_stack_init(key, in_dim: int, dims: Sequence[int]) -> Tuple[List, List]:
+def mlp_stack_init(key, in_dim: int, dims: Sequence[int],
+                   torch_default: bool = False) -> Tuple[List, List]:
+    """torch_default=True mirrors layers the reference builds as Conv1d
+    (untouched by its weights_init); False mirrors its xavier'd Conv2d."""
+    init = dense_init_torch_default if torch_default else dense_init
     params, stats = [], []
     last = in_dim
     for i, out in enumerate(dims):
         k = jax.random.fold_in(key, i)
         bn_p, bn_s = batchnorm_init(out)
-        params.append({"conv": dense_init(k, last, out), "bn": bn_p})
+        params.append({"conv": init(k, last, out), "bn": bn_p})
         stats.append(bn_s)
         last = out
     return params, stats
@@ -226,7 +247,9 @@ def set_abstraction_msg(params, stats, cfg: dict, xyz: jnp.ndarray,
 
 
 def feature_propagation_init(key, in_channel: int, mlp: Sequence[int]):
-    return mlp_stack_init(key, in_channel, mlp)
+    # FP MLPs are Conv1d in the reference (pointnet2_utils.py:271-275):
+    # its weights_init never touches them, so they keep torch defaults
+    return mlp_stack_init(key, in_channel, mlp, torch_default=True)
 
 
 def feature_propagation(params, stats, xyz1, xyz2, points1, points2, *,
@@ -260,10 +283,12 @@ def feature_propagation(params, stats, xyz1, xyz2, points1, points2, *,
 
 def _stn_init(key, channel: int, k: int):
     keys = jax.random.split(key, 6)
+    # reference STN: convs are Conv1d (torch-default init), fcs are Linear
+    # (xavier'd by weights_init) — pointnet_utils.py:12-22
     params = {
-        "conv1": dense_init(keys[0], channel, 64),
-        "conv2": dense_init(keys[1], 64, 128),
-        "conv3": dense_init(keys[2], 128, 1024),
+        "conv1": dense_init_torch_default(keys[0], channel, 64),
+        "conv2": dense_init_torch_default(keys[1], 64, 128),
+        "conv3": dense_init_torch_default(keys[2], 128, 1024),
         "fc1": dense_init(keys[3], 1024, 512),
         "fc2": dense_init(keys[4], 512, 256),
         "fc3": dense_init(keys[5], 256, k * k),
@@ -315,9 +340,10 @@ def pointnet_encoder_init(key, channel: int, feature_transform: bool = True):
     params: Pytree = {}
     stats: Pytree = {}
     params["stn"], stats["stn"] = stn_init(keys[0], channel)
-    params["conv1"] = dense_init(keys[1], channel, 64)
-    params["conv2"] = dense_init(keys[2], 64, 128)
-    params["conv3"] = dense_init(keys[3], 128, 1024)
+    # encoder convs are Conv1d upstream -> torch-default init
+    params["conv1"] = dense_init_torch_default(keys[1], channel, 64)
+    params["conv2"] = dense_init_torch_default(keys[2], 64, 128)
+    params["conv3"] = dense_init_torch_default(keys[3], 128, 1024)
     for i, dim in enumerate([64, 128, 1024], start=1):
         p, s = batchnorm_init(dim)
         params[f"bn{i}"] = p
