@@ -149,6 +149,28 @@ def test_train_then_test_cli_multidevice(workspace, monkeypatch):
     assert 0.0 <= out["miou"] <= 1.0
 
 
+def test_train_resume_rejects_legacy_pickle(workspace, monkeypatch):
+    """A round-1 pickle at the resume path must abort with the conversion
+    hint, NOT silently restart and overwrite the old run."""
+    import pickle
+
+    from tumseg.cli import train as train_cli
+
+    monkeypatch.chdir(workspace)
+    ckpt_dir = workspace / "log" / "sem_seg" / "legacy_run" / "checkpoints"
+    ckpt_dir.mkdir(parents=True)
+    with open(ckpt_dir / "best_model.pth", "wb") as f:
+        pickle.dump({"epoch": 3, "model_state_dict": {}}, f)
+    args = train_cli.parse_args([
+        "--rootdir", str(workspace / "data"), "--test_area", "test_tile.las",
+        "--model", "pointnet_sem_seg", "--class8",
+        "--exp_dir", str(workspace / "log"), "--log_dir", "legacy_run",
+        "--seed", "0", "--epoch", "1", "--batch_size", "4",
+        "--npoint", "128"])
+    with pytest.raises(SystemExit, match="convert_legacy_checkpoint"):
+        train_cli.main(args)
+
+
 def test_train_resume(workspace, monkeypatch):
     """Second invocation warm-starts from the saved best checkpoint."""
     from tumseg.cli import train as train_cli

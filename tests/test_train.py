@@ -288,6 +288,10 @@ def test_initialize_distributed_wiring(monkeypatch):
                         lambda **kw: calls.append(kw))
     assert pmesh.initialize_distributed() is False  # no cluster -> no-op
     assert calls == []
+    # coordinator without process topology must fail loudly (jax's own
+    # auto-detection would hang on this image's fake pod vars)
+    with pytest.raises(ValueError, match="num_processes"):
+        pmesh.initialize_distributed("h:1234")
     assert pmesh.initialize_distributed("h:1234", 4, 2) is True
     assert calls == [{"coordinator_address": "h:1234",
                       "num_processes": 4, "process_id": 2}]

@@ -178,6 +178,9 @@ def train_test_torch(train_paths, test_path, args):
     with torch.no_grad():
         for _ in range(args.votes):
             data, labels, smpw, pidx = tds[0]
+            # reference add_vote weight gate (localfunctions.py:339-346),
+            # matching the tumseg side's gt_weight_gate=True default
+            keep = (smpw != 0) & ~np.isinf(smpw)
             for s in range(0, data.shape[0], args.batch):
                 xb = torch.from_numpy(
                     data[s:s + args.batch]).float().transpose(2, 1)
@@ -185,7 +188,7 @@ def train_test_torch(train_paths, test_path, args):
                 cls = pred.argmax(-1).numpy()
                 for b in range(cls.shape[0]):
                     np.add.at(vote_pool, pidx[s + b].astype(int),
-                              np.eye(8)[cls[b]])
+                              np.eye(8)[cls[b]] * keep[s + b][:, None])
     pred_label = vote_pool.argmax(1)
     gt = np.asarray(tds.semantic_labels_list[0])
     tallies = {

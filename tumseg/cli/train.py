@@ -224,7 +224,14 @@ def main(args):
         state = ckpt.load_checkpoint(resume_path)
         start_epoch = engine.load_state(state)
         log_string("Use pretrain model")
-    except Exception:  # any load failure -> fresh start, like the
+    except ValueError as e:
+        if "legacy pickle" not in str(e):
+            raise
+        # a round-1 pickle checkpoint sits at the resume path: restarting
+        # from scratch would silently overwrite the old run on the first
+        # best-mIoU save — surface the conversion hint instead
+        raise SystemExit(f"Cannot resume: {e}")
+    except Exception:  # missing/unreadable -> fresh start, like the
         # reference's bare try/except warm-start (sem_seg_training.py:565-573)
         log_string("No existing model, starting training from scratch...")
         start_epoch = 0

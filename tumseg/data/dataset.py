@@ -421,7 +421,7 @@ class TestGridDataset:
     def copy(self, new_indices=None) -> "TestGridDataset":
         out = TestGridDataset()
         for attr in ["block_points", "block_size", "padding", "stride",
-                     "num_classes", "num_extra_features", "feature_name"]:
+                     "num_classes", "num_extra_features"]:
             setattr(out, attr, getattr(self, attr))
         out.feature_name = list(self.feature_name)
         idxs = (list(range(len(self.scene_points_list)))

@@ -33,10 +33,14 @@ def initialize_distributed(coordinator_address: Optional[str] = None,
 
     Call before any backend use, once per host process. Strictly explicit
     opt-in: joins only when --coordinator_address is passed or
-    TUMSEG_COORDINATOR_ADDRESS is set (broad env sniffing is a trap — this
-    image's TPU tunnel exports pod-looking vars like TPU_WORKER_HOSTNAMES in
-    single-host sessions). Otherwise a no-op returning False, so single-host
-    runs (the default, and everything the reference supported) pay nothing.
+    TUMSEG_COORDINATOR_ADDRESS is set, and then num_processes/process_id
+    must also be given (flags or TUMSEG_NUM_PROCESSES/TUMSEG_PROCESS_ID).
+    Broad cluster-env sniffing — ours or jax's own auto-detection — is a
+    trap: this image's TPU tunnel exports pod-looking vars like
+    TPU_WORKER_HOSTNAMES in single-host sessions, which jax's detector
+    would read as a multi-process pod and hang waiting for peers. With no
+    coordinator this is a no-op returning False, so single-host runs (the
+    default, and everything the reference supported) pay nothing.
     """
     global _distributed_initialized
     if _distributed_initialized:
@@ -45,12 +49,20 @@ def initialize_distributed(coordinator_address: Optional[str] = None,
         coordinator_address = os.environ.get("TUMSEG_COORDINATOR_ADDRESS")
     if coordinator_address is None:
         return False
-    kwargs = {"coordinator_address": coordinator_address}
-    if num_processes is not None:
-        kwargs["num_processes"] = num_processes
-    if process_id is not None:
-        kwargs["process_id"] = process_id
-    jax.distributed.initialize(**kwargs)
+    if num_processes is None and os.environ.get("TUMSEG_NUM_PROCESSES"):
+        num_processes = int(os.environ["TUMSEG_NUM_PROCESSES"])
+    if process_id is None and os.environ.get("TUMSEG_PROCESS_ID"):
+        process_id = int(os.environ["TUMSEG_PROCESS_ID"])
+    if num_processes is None or process_id is None:
+        raise ValueError(
+            "initialize_distributed: coordinator_address requires explicit "
+            "num_processes and process_id (--num_processes/--process_id or "
+            "TUMSEG_NUM_PROCESSES/TUMSEG_PROCESS_ID) — jax's cluster "
+            "auto-detection is disabled because this environment exports "
+            "pod-looking vars in single-host sessions")
+    jax.distributed.initialize(coordinator_address=coordinator_address,
+                               num_processes=num_processes,
+                               process_id=process_id)
     _distributed_initialized = True
     return True
 
