@@ -151,6 +151,54 @@ def test_test_grid_subset_keeps_scene_state_aligned(tiles):
     assert ds.non_index == [0]
 
 
+def test_grid_indices_binned_matches_naive_masks(tiles):
+    """grid_indices' stride-bin candidate pruning must reproduce the naive
+    full-scene masks bit-for-bit (same point sets per cell -> same RNG
+    consumption -> identical blocks)."""
+    ds = TestGridDataset(las_file_list=tiles[:1], num_classes=8,
+                         block_points=256, seed=0)
+    points = ds.scene_points_list[0][:, :3]
+    cmin, cmax = points.min(0), points.max(0)
+    gx = int(np.ceil((cmax[0] - cmin[0] - ds.block_size) / ds.stride) + 1)
+    gy = int(np.ceil((cmax[1] - cmin[1] - ds.block_size) / ds.stride) + 1)
+
+    naive_cells = []
+    for iy in range(gy):
+        for ix in range(gx):
+            s_x = cmin[0] + ix * ds.stride
+            e_x = min(s_x + ds.block_size, cmax[0])
+            s_x = e_x - ds.block_size
+            s_y = cmin[1] + iy * ds.stride
+            e_y = min(s_y + ds.block_size, cmax[1])
+            s_y = e_y - ds.block_size
+            inside = ((points[:, 0] >= s_x - ds.padding)
+                      & (points[:, 0] <= e_x + ds.padding)
+                      & (points[:, 1] >= s_y - ds.padding)
+                      & (points[:, 1] <= e_y + ds.padding))
+            pi = np.flatnonzero(inside)
+            if pi.size:
+                naive_cells.append((pi, s_x, s_y))
+
+    rng = np.random.default_rng(99)
+    want_blocks, want_offsets = [], []
+    for pi, s_x, s_y in naive_cells:
+        num_batch = int(np.ceil(pi.size / ds.block_points))
+        size = num_batch * ds.block_points
+        short = size - pi.size
+        repeat = rng.choice(pi, short, replace=short > pi.size)
+        pi = np.concatenate((pi, repeat))
+        rng.shuffle(pi)
+        want_blocks.append(pi.reshape(-1, ds.block_points))
+        want_offsets.append(np.repeat([[s_x, s_y]], num_batch, axis=0))
+
+    ds._rng = np.random.default_rng(99)
+    got_blocks, got_offsets = ds.grid_indices(0)
+    np.testing.assert_array_equal(got_blocks,
+                                  np.concatenate(want_blocks, axis=0))
+    np.testing.assert_allclose(got_offsets,
+                               np.concatenate(want_offsets, axis=0))
+
+
 def test_batch_loader_seed_deterministic_across_workers(tiles):
     ds = TrainBlockDataset(tiles, num_classes=8, num_point=128, seed=0)
     runs = []

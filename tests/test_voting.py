@@ -69,6 +69,52 @@ def test_infer_scene_covers_every_point(runner_and_ds):
     assert labels.min() >= 0 and labels.max() < 8
 
 
+def test_device_featurizer_matches_host_path(scene):
+    """The on-device channel builder (index-only uploads) must produce the
+    same predictions as the host-featurized path for the same RNG stream
+    (host builds in f64, device in f32 — predictions must still agree)."""
+    ds_a = TestGridDataset(las_file_list=[scene], num_classes=8,
+                           block_points=512, class8=True, color=False, seed=3)
+    ds_b = TestGridDataset(las_file_list=[scene], num_classes=8,
+                           block_points=512, class8=True, color=False, seed=3)
+    model = models.get_module("pointnet_sem_seg")
+    var = model.init(jax.random.PRNGKey(0), 8, 0)
+    host = InferenceRunner(model, var, num_classes=8, batch_size=4,
+                           device_features=False)
+    dev = InferenceRunner(model, var, num_classes=8, batch_size=4,
+                          device_features=True)
+    a = host.infer_scene(ds_a, 0, num_votes=1)
+    b = dev.infer_scene(ds_b, 0, num_votes=1)
+    assert (a == b).mean() > 0.999  # f64-vs-f32 channel ulps only
+
+
+def test_device_featurizer_extra_features(tmp_path):
+    """Device featurizer with RGB (color /255) + a raw extra column."""
+    r = np.random.default_rng(4)
+    n = 6000
+    xyz = np.stack([r.uniform(0, 2, n), r.uniform(0, 1.5, n),
+                    r.uniform(0, 2, n)], 1)
+    p = str(tmp_path / "rgb.las")
+    write_las(p, xyz, r.choice([1, 2, 3, 7], n),
+              rgb=r.integers(0, 256, (n, 3)).astype(np.uint16),
+              extra={"Planarity": r.random(n).astype(np.float32)})
+    ds = TestGridDataset(las_file_list=[p], feature_list=["Planarity"],
+                         num_classes=8, block_points=256, class8=True,
+                         color=True, seed=0)
+    ds2 = TestGridDataset(las_file_list=[p], feature_list=["Planarity"],
+                          num_classes=8, block_points=256, class8=True,
+                          color=True, seed=0)
+    model = models.get_module("pointnet_sem_seg")
+    var = model.init(jax.random.PRNGKey(0), 8, 4)
+    host = InferenceRunner(model, var, num_classes=8, batch_size=4,
+                           device_features=False)
+    dev = InferenceRunner(model, var, num_classes=8, batch_size=4,
+                          device_features=True)
+    a = host.infer_scene(ds, 0, num_votes=1)
+    b = dev.infer_scene(ds2, 0, num_votes=1)
+    assert (a == b).mean() > 0.999
+
+
 def test_infer_scene_deterministic_model_votes_agree(runner_and_ds):
     # with 1 vote vs 3 votes the argmax should mostly agree for a fixed model
     runner, ds = runner_and_ds

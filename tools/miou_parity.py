@@ -168,7 +168,17 @@ def train_test_torch(train_paths, test_path, args):
               f"eval mIoU {m:.4f}", flush=True)
     model.load_state_dict(best_state)
 
-    # ---- voting test, reference semantics (localfunctions.py:349-421) ----
+    return torch_voting_miou(model, test_path, args)
+
+
+def torch_voting_miou(model, test_path, args):
+    """Reference-semantics voting tester (localfunctions.py:349-421) for a
+    torch model on one scene."""
+    import torch
+
+    from tumseg.data.dataset import TestGridDataset
+    from tumseg.train import metrics as M
+
     model = model.eval()
     tds = TestGridDataset(las_file_list=[test_path], num_classes=8,
                           block_points=args.npoint, color=False, class8=True,
@@ -199,6 +209,33 @@ def train_test_torch(train_paths, test_path, args):
     return M.miou_from_tallies(tallies)
 
 
+def cross_eval(test_path, args, tmpdir):
+    """Inference-pipeline parity with training noise removed: export the
+    tumseg-trained weights to a torch state_dict and run the torch voting
+    tester with them; the delta vs the tumseg tester's mIoU then measures
+    only the two inference pipelines (fp noise + independent vote
+    re-blockings)."""
+    import importlib
+
+    import torch
+
+    sys.path.insert(0, "/root/reference")
+    sys.path.insert(0, "/root/reference/models")
+    ref_mod = importlib.import_module("models.pointnet2_sem_seg")
+
+    from tools.export_torch_checkpoint import export_state_dict
+    from tumseg.train import checkpoint as ckpt
+
+    state = ckpt.load_checkpoint(
+        f"{tmpdir}/log/sem_seg/parity/checkpoints/best_model.pth")
+    sd = {k: torch.from_numpy(np.ascontiguousarray(v)) for k, v in
+          export_state_dict(state["model_state_dict"],
+                            "pointnet2_sem_seg").items()}
+    model = ref_mod.get_model(8, 0)
+    model.load_state_dict(sd)
+    return torch_voting_miou(model, test_path, args)
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--epochs", type=int, default=6)
@@ -207,6 +244,10 @@ def main():
     ap.add_argument("--votes", type=int, default=2)
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--workdir", default=None)
+    ap.add_argument("--cross_eval", action="store_true",
+                    help="also run the torch voting tester with the "
+                         "tumseg-TRAINED weights (inference-pipeline "
+                         "parity, no training noise)")
     args = ap.parse_args()
 
     import os
@@ -220,12 +261,17 @@ def main():
     miou_tumseg = train_test_tumseg(train_paths, test_path, args, tmpdir)
     miou_torch = train_test_torch(train_paths, test_path, args)
 
-    print(json.dumps({
+    out = {
         "miou_torch": round(miou_torch, 4),
         "miou_tumseg": round(miou_tumseg, 4),
         "delta_pts": round((miou_tumseg - miou_torch) * 100, 2),
         "config": vars(args),
-    }))
+    }
+    if args.cross_eval:
+        miou_cross = cross_eval(test_path, args, tmpdir)
+        out["miou_torch_with_tumseg_weights"] = round(miou_cross, 4)
+        out["cross_delta_pts"] = round((miou_tumseg - miou_cross) * 100, 2)
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":
