@@ -163,3 +163,44 @@ def test_runner_on_mesh(scene):
     runner = InferenceRunner(model, var, num_classes=8, batch_size=8, mesh=mesh)
     labels = runner.infer_scene(ds, 0, num_votes=1)
     assert labels.shape == ds.semantic_labels_list[0].shape
+    # sharded result == single-device result (same RNG stream)
+    ds2 = TestGridDataset(las_file_list=[scene], num_classes=8,
+                          block_points=512, class8=True, color=False, seed=0)
+    single = InferenceRunner(model, var, num_classes=8, batch_size=8)
+    labels_1dev = single.infer_scene(ds2, 0, num_votes=1)
+    assert (labels == labels_1dev).mean() > 0.999
+
+
+def test_runner_on_mesh_device_features(scene):
+    """The shard_map-wrapped featurized forward (blocks sharded, scene
+    replicated) must match the host-featurized mesh path."""
+    from tumseg.parallel import make_mesh
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    model = models.get_module("pointnet_sem_seg")
+    var = model.init(jax.random.PRNGKey(0), 8, 0)
+    mesh = make_mesh(8)
+    ds = TestGridDataset(las_file_list=[scene], num_classes=8,
+                         block_points=512, class8=True, color=False, seed=1)
+    ds2 = TestGridDataset(las_file_list=[scene], num_classes=8,
+                          block_points=512, class8=True, color=False, seed=1)
+    dev = InferenceRunner(model, var, num_classes=8, batch_size=8, mesh=mesh,
+                          device_features=True)
+    host = InferenceRunner(model, var, num_classes=8, batch_size=8, mesh=mesh,
+                           device_features=False)
+    a = dev.infer_scene(ds, 0, num_votes=1)
+    b = host.infer_scene(ds2, 0, num_votes=1)
+    assert (a == b).mean() > 0.999
+
+
+def test_runner_mesh_batch_size_validation(scene):
+    from tumseg.parallel import make_mesh
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    model = models.get_module("pointnet_sem_seg")
+    var = model.init(jax.random.PRNGKey(0), 8, 0)
+    with pytest.raises(ValueError, match="multiple of the mesh"):
+        InferenceRunner(model, var, num_classes=8, batch_size=6,
+                        mesh=make_mesh(8))

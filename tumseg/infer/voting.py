@@ -78,7 +78,24 @@ class InferenceRunner:
                                      compute_dtype=compute_dtype)
             return jnp.argmax(logp, axis=-1).astype(jnp.int32)
 
-        self._forward = jax.jit(forward)
+        if mesh is not None:
+            # shard_map, not bare GSPMD: the Pallas kernels have no SPMD
+            # partitioning rules, so each device must run them on its local
+            # block shard (same reasoning as TrainEngine's sharded step).
+            # Eval-mode BN uses fixed stats — no collectives needed.
+            from jax.sharding import PartitionSpec as P
+
+            if batch_size % mesh.size != 0:
+                raise ValueError(
+                    f"batch_size {batch_size} must be a multiple of the "
+                    f"mesh size {mesh.size} for sharded inference")
+            forward_sharded = jax.shard_map(
+                forward, mesh=mesh,
+                in_specs=(P(), P(pmesh.DATA_AXIS)),
+                out_specs=P(pmesh.DATA_AXIS))
+            self._forward = jax.jit(forward_sharded)
+        else:
+            self._forward = jax.jit(forward)
 
         def forward_featurized(variables, scene_xyz, scene_extra, coord_max,
                                color_mask, idx, offsets, block_size):
@@ -98,8 +115,28 @@ class InferenceRunner:
             points = jnp.concatenate(feats, axis=-1)
             return forward(variables, points)
 
-        self._forward_featurized = jax.jit(forward_featurized,
-                                           static_argnames=("block_size",))
+        if mesh is not None:
+            from jax.sharding import PartitionSpec as P
+
+            P_b = P(pmesh.DATA_AXIS)
+
+            def featurized_sharded(variables, scene_xyz, scene_extra,
+                                   coord_max, color_mask, idx, offsets,
+                                   block_size):
+                return jax.shard_map(
+                    lambda v, sx, se, cm, cmask, i, o: forward_featurized(
+                        v, sx, se, cm, cmask, i, o, block_size),
+                    mesh=mesh,
+                    in_specs=(P(), P(), P(), P(), P(), P_b, P_b),
+                    out_specs=P_b,
+                )(variables, scene_xyz, scene_extra, coord_max, color_mask,
+                  idx, offsets)
+
+            self._forward_featurized = jax.jit(
+                featurized_sharded, static_argnames=("block_size",))
+        else:
+            self._forward_featurized = jax.jit(
+                forward_featurized, static_argnames=("block_size",))
 
     def predict_blocks(self, scene_data: np.ndarray) -> np.ndarray:
         """scene_data [num_blocks, N, C] -> predicted labels [num_blocks, N].
