@@ -66,14 +66,17 @@ def query_ball_point(radius, nsample, xyz, new_xyz):
     return _xla.query_ball_point(radius, nsample, xyz, new_xyz)
 
 
-# Size thresholds below which the XLA composition beats the Pallas kernel
-# (per-program overhead dominates at the small SA/FP stages; measured in
-# benchmarks/micro.py on v5e). Gather-replacement kernels (group_points,
-# weighted_interpolate) have NO threshold: XLA dynamic gathers are the
-# pathology they exist to avoid, at every stage size.
-_THREE_NN_PALLAS_MIN = 1 << 20    # N * S
-_FPS_PALLAS_MIN = 4096            # N * npoint
-_BALLQUERY_PALLAS_MIN = 10 ** 4   # N * S
+# Size thresholds below which the XLA composition beats the Pallas kernel.
+# Round-2 device-time measurements (benchmarks/breakdown.py, chained-in-jit
+# — the round-1 thresholds were set from dispatch-floored micro.py numbers)
+# show the kernels winning or tying at EVERY model stage: fps4 0.35 vs
+# 0.57 ms XLA, bq4 0.35 vs 0.58, fps2 0.37 vs 2.89. Thresholds are kept as
+# knobs but set to dispatch the kernels unconditionally, same as the
+# gather-replacement kernels (group_points, weighted_interpolate) whose
+# XLA fallback — dynamic gather — is the pathology they exist to avoid.
+_THREE_NN_PALLAS_MIN = 0          # N * S
+_FPS_PALLAS_MIN = 0               # N * npoint
+_BALLQUERY_PALLAS_MIN = 0         # N * S
 
 
 _GATHER_ROWS_PALLAS_MIN = 1 << 16  # N * S below this: XLA gather wins
