@@ -149,6 +149,33 @@ def test_train_then_test_cli_multidevice(workspace, monkeypatch):
     assert 0.0 <= out["miou"] <= 1.0
 
 
+def test_train_then_test_cli_msg_model(workspace, monkeypatch):
+    """The MSG model end-to-end through both CLIs (fused-kernel grouping
+    path on TPU; XLA path here)."""
+    from tumseg.cli import test as test_cli
+    from tumseg.cli import train as train_cli
+
+    monkeypatch.chdir(workspace)
+    common = [
+        "--rootdir", str(workspace / "data"),
+        "--test_area", "test_tile.las",
+        "--model", "pointnet2_sem_seg_msg",
+        "--class8",
+        "--exp_dir", str(workspace / "log"),
+        "--log_dir", "msg_run",
+        "--seed", "0",
+    ]
+    targs = train_cli.parse_args(common + [
+        "--epoch", "1", "--batch_size", "4", "--npoint", "128"])
+    acc, ml, iou = train_cli.main(targs)
+    assert len(acc) == 1 and np.isfinite(ml[0])
+    eargs = test_cli.parse_args(common + [
+        "--exp_dir", str(workspace / "log") + "/sem_seg/",
+        "--batch_size", "4", "--num_point", "128", "--num_votes", "1"])
+    out = test_cli.main(eargs)
+    assert 0.0 <= out["miou"] <= 1.0
+
+
 def test_train_resume_rejects_legacy_pickle(workspace, monkeypatch):
     """A round-1 pickle at the resume path must abort with the conversion
     hint, NOT silently restart and overwrite the old run."""

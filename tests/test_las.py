@@ -97,6 +97,43 @@ def test_fuzz_roundtrips(tmp_path):
                 np.testing.assert_array_equal(got, extra["Field A"])
 
 
+def test_malformed_files_fail_loudly(tmp_path):
+    from tumseg.data.las import read_las
+
+    bad_magic = tmp_path / "bad.las"
+    bad_magic.write_bytes(b"NOPE" + b"\x00" * 400)
+    with pytest.raises(ValueError, match="not a LAS file"):
+        read_las(str(bad_magic))
+
+    # truncated header
+    xyz, labels, _ = _tile(32, seed=6)
+    p = tmp_path / "trunc.las"
+    write_las(str(p), xyz, labels)
+    data = p.read_bytes()
+    p.write_bytes(data[:100])
+    with pytest.raises(Exception):
+        read_las(str(p))
+
+
+def test_scale_overflow_fails_loudly(tmp_path):
+    # the min-offset absorbs absolute magnitude; overflow needs SPREAD
+    xyz = np.array([[0.0, 0.0, 0.0], [1e8, 0.0, 0.0]])
+    with pytest.raises(ValueError, match="overflow"):
+        write_las(str(tmp_path / "o.las"), xyz, np.array([1, 1]),
+                  scales=(1e-6, 1e-6, 1e-6))
+
+
+def test_unknown_dimension_message(tmp_path):
+    from tumseg.data.las import read_las
+
+    xyz, labels, _ = _tile(16, seed=7)
+    p = str(tmp_path / "dim.las")
+    write_las(p, xyz, labels)
+    las = read_las(p)
+    with pytest.raises(AttributeError, match="no dimension"):
+        getattr(las, "Verticality")
+
+
 def test_large_coords_precision(tmp_path):
     # UTM-scale coordinates as in real TUM-Facade tiles
     xyz, labels, _ = _tile(128, seed=5)

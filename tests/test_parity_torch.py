@@ -71,7 +71,7 @@ def test_pointnet2_forward_parity(monkeypatch, extra):
     np.testing.assert_allclose(got_np, ref_np, atol=2e-3)
 
 
-@pytest.mark.parametrize("extra", [0])
+@pytest.mark.parametrize("extra", [0, 3])
 def test_pointnet_forward_parity(extra):
     import importlib
 

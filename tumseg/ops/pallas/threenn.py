@@ -46,18 +46,22 @@ def _threenn_kernel(s_total: int, q_ref, src_ref, splane_ref, dist_out_ref,
     cross = lax.dot_general(q, s, (((1,), (1,)), ((), ())),
                             preferred_element_type=jnp.float32,
                             precision=lax.Precision.HIGHEST)
+    # the distance matrix is materialized ONCE to scratch (pins rounding);
+    # the peel then chains VALUES — each masked rewrite of the [N_t, S] ref
+    # would cost an extra full write+read pass per peel
     dist_ref[:, :] = qsq + ssq - 2.0 * cross
+    cand = dist_ref[:, :]
 
     dacc = jnp.zeros((N_t, 3), dtype=jnp.float32)
     iacc = jnp.zeros((N_t, 3), dtype=jnp.int32)
     for k in range(3):
-        dist = dist_ref[:, :]
-        minv = jnp.min(dist, axis=1, keepdims=True)
-        mi = jnp.min(jnp.where(dist == minv, col, s_total), axis=1,
+        minv = jnp.min(cand, axis=1, keepdims=True)
+        mi = jnp.min(jnp.where(cand == minv, col, s_total), axis=1,
                      keepdims=True)
         dacc = dacc + jnp.where(kcol3 == k, minv, 0.0)
         iacc = iacc + jnp.where(kcol3 == k, mi, 0)
-        dist_ref[:, :] = jnp.where(col == mi, _BIG, dist)
+        if k < 2:
+            cand = jnp.where(col == mi, _BIG, cand)
 
     dist_out_ref[0, :, :] = dacc
     idx_out_ref[0, :, :] = iacc
