@@ -206,3 +206,59 @@ def test_fps_pallas_batch_tiling():
         fps_mod._VMEM_PLANE_BUDGET = old
     want = np.asarray(xla_ops.farthest_point_sample(xyz, 8))
     np.testing.assert_array_equal(got, want)
+
+
+# ---- z-window pruned variants (exactness incl. the on-device fallback) ----
+
+@pytest.mark.parametrize("r,window,s_tile", [(0.1, 256, 32), (0.25, 256, 64),
+                                             (0.45, 256, 32)])
+def test_ballquery_windowed_matches_xla(r, window, s_tile):
+    from tumseg.ops.pallas.ballquery import query_ball_point_windowed
+
+    rng = np.random.default_rng(7)
+    xyz = jnp.asarray(rng.random((2, 512, 3)), jnp.float32)
+    new_xyz = xyz[:, :128, :]
+    want = np.asarray(xla_ops.query_ball_point(r, 8, xyz, new_xyz))
+    got = np.asarray(query_ball_point_windowed(r, 8, xyz, new_xyz,
+                                               window, s_tile))
+    np.testing.assert_array_equal(got, want)
+
+
+def test_ballquery_windowed_degenerate_z_falls_back():
+    from tumseg.ops.pallas.ballquery import query_ball_point_windowed
+
+    rng = np.random.default_rng(8)
+    xyz = jnp.asarray(rng.random((2, 512, 3)), jnp.float32)
+    xyz = xyz.at[:, :, 2].set(0.5)  # all candidates share one z rank window
+    new_xyz = xyz[:, :128, :]
+    want = np.asarray(xla_ops.query_ball_point(0.1, 8, xyz, new_xyz))
+    got = np.asarray(query_ball_point_windowed(0.1, 8, xyz, new_xyz, 256, 32))
+    np.testing.assert_array_equal(got, want)
+
+
+def test_threenn_windowed_matches_full():
+    from tumseg.ops.pallas.threenn import (_three_nn_impl,
+                                           _three_nn_windowed_impl)
+
+    rng = np.random.default_rng(9)
+    xyz1 = jnp.asarray(rng.random((2, 512, 3)), jnp.float32)
+    xyz2 = jnp.asarray(rng.random((2, 256, 3)), jnp.float32)
+    fd, fi = _three_nn_impl(xyz1, xyz2)
+    wd, wi = _three_nn_windowed_impl(xyz1, xyz2, 128, 64)
+    np.testing.assert_array_equal(np.asarray(wi), np.asarray(fi))
+    np.testing.assert_allclose(np.asarray(wd), np.asarray(fd), atol=1e-6)
+
+
+def test_threenn_windowed_guard_falls_back():
+    from tumseg.ops.pallas.threenn import (_three_nn_impl,
+                                           _three_nn_windowed_impl)
+
+    rng = np.random.default_rng(10)
+    xyz1 = jnp.asarray(rng.random((2, 512, 3)), jnp.float32)
+    xyz2 = jnp.asarray(rng.random((2, 256, 3)), jnp.float32)
+    xyz1 = xyz1.at[:, :, 2].set(0.25)  # z carries no ordering information
+    xyz2 = xyz2.at[:, :, 2].set(0.25)
+    fd, fi = _three_nn_impl(xyz1, xyz2)
+    wd, wi = _three_nn_windowed_impl(xyz1, xyz2, 128, 64)
+    np.testing.assert_array_equal(np.asarray(wi), np.asarray(fi))
+    np.testing.assert_allclose(np.asarray(wd), np.asarray(fd), atol=1e-6)

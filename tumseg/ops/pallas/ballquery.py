@@ -97,3 +97,143 @@ def query_ball_point(radius: float, nsample: int, xyz: jnp.ndarray,
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((B, S, nsample), jnp.int32),
     )(planes, queries)
+
+
+# ---------------------------------------------------------------------------
+# z-window pruned variant
+# ---------------------------------------------------------------------------
+#
+# The full kernel's cost is the K-peel over all N candidates per query. But a
+# ball of radius r only contains points with |z - z_q| <= r, so after sorting
+# candidates by z every query's in-radius set lives in a contiguous rank
+# window. Sorting the queries by z too makes each s_tile-query tile share a
+# single candidate window of C << N sorted lanes, cutting the peel (and the
+# distance build) by N/C. Facade blocks (1 m x 1 m xy, full building height,
+# reference sem_seg_training.py:207-221) spread almost entirely in z, so the
+# needed window is tiny; even the uniform-cube worst case fits C=1536 at
+# sa1's N=4096, S=1024, r=0.1.
+#
+# Exactness: the peel runs on ORIGINAL indices (carried through the sort), so
+# output semantics are identical to the full kernel whenever the window
+# covers every in-radius candidate. That coverage is *checked on device*
+# (searchsorted bounds with a rounding margin) and a lax.cond falls back to
+# the full kernel when any tile's window would overflow — the windowed path
+# is a pure optimization, never a semantics change.
+
+_WINDOW_S_TILE = 128
+
+
+def _ballquery_window_kernel(radius: float, nsample: int, n_total: int,
+                             c_window: int, start_ref, xyz_ref, oc_ref,
+                             q_ref, out_ref):
+    S_t = q_ref.shape[1]
+    kcol = lax.broadcasted_iota(jnp.int32, (S_t, nsample), dimension=1)
+
+    start = pl.multiple_of(start_ref[pl.program_id(0), pl.program_id(1)], 128)
+    sx = xyz_ref[0, 0, pl.ds(start, c_window)]            # [C]
+    sy = xyz_ref[0, 1, pl.ds(start, c_window)]
+    sz = xyz_ref[0, 2, pl.ds(start, c_window)]
+    oc = oc_ref[0, 0, pl.ds(start, c_window)]             # [C] original idx
+
+    qn = q_ref[0, :, :]                                   # [S_t, 3]
+    dx = sx[None, :] - qn[:, 0][:, None]
+    dy = sy[None, :] - qn[:, 1][:, None]
+    dz = sz[None, :] - qn[:, 2][:, None]
+    d = dx * dx + dy * dy + dz * dz
+    masked = jnp.where(d <= radius * radius, oc[None, :], n_total)
+
+    acc = jnp.zeros((S_t, nsample), dtype=jnp.int32)
+    last = jnp.full((S_t, 1), -1, dtype=jnp.int32)
+    first = jnp.zeros((S_t, 1), dtype=jnp.int32)
+    for k in range(nsample):
+        cand = jnp.where(masked > last, masked, n_total)
+        cur = jnp.min(cand, axis=1, keepdims=True)
+        if k == 0:
+            first = cur
+        filled = jnp.where(cur == n_total, first, cur)
+        acc = acc + jnp.where(kcol == k, filled, 0)
+        last = cur
+    out_ref[0, :, :] = acc
+
+
+def _sort_with_payload(keys, *payloads):
+    """Ascending sort along axis 1, carrying payloads. keys [B, N]."""
+    iota = jnp.broadcast_to(jnp.arange(keys.shape[1], dtype=jnp.int32),
+                            keys.shape)
+    return lax.sort((keys, iota) + payloads, dimension=1, num_keys=1)
+
+
+@functools.partial(jax.jit, static_argnums=(0, 1, 4, 5))
+def query_ball_point_windowed(radius: float, nsample: int, xyz: jnp.ndarray,
+                              new_xyz: jnp.ndarray, window: int = 1536,
+                              s_tile: int = _WINDOW_S_TILE) -> jnp.ndarray:
+    """Exact query_ball_point with z-window candidate pruning.
+
+    Same contract as query_ball_point; falls back to it on device whenever
+    the static window cannot cover some tile's in-radius span.
+    """
+    B, N, _ = xyz.shape
+    S = new_xyz.shape[1]
+    C = min(window, N)
+    s_tile = min(s_tile, S)
+    if S % s_tile != 0:
+        s_tile = S
+    T = S // s_tile
+    if C == N or C % 128 != 0 or N % 128 != 0:
+        return query_ball_point(radius, nsample, xyz, new_xyz)
+
+    xyz = xyz.astype(jnp.float32)
+    queries = new_xyz.astype(jnp.float32)
+
+    # one variadic sort carries coords + original indices through z order
+    zs, order, xs, ys = _sort_with_payload(
+        xyz[:, :, 2], xyz[:, :, 0], xyz[:, :, 1])
+    planes = jnp.stack([xs, ys, zs], axis=1)              # [B, 3, N] sorted
+    qzs, qorder, qxs, qys = _sort_with_payload(
+        queries[:, :, 2], queries[:, :, 0], queries[:, :, 1])
+    q_sorted = jnp.stack([qxs, qys, qzs], axis=-1)        # [B, S, 3]
+    # inverse permutation to restore original query order at the end
+    _, inv = lax.sort((qorder, jnp.broadcast_to(
+        jnp.arange(S, dtype=jnp.int32), qorder.shape)), dimension=1,
+        num_keys=1)
+
+    # per-query in-radius rank bounds, with a margin covering the kernel's
+    # d = dx^2+dy^2+dz^2 rounding at the r^2 boundary (few-ulp slack)
+    margin = (radius + jnp.abs(qzs)) * 1e-6
+    lo = jax.vmap(functools.partial(jnp.searchsorted, side="left"))(
+        zs, qzs - radius - margin)                        # [B, S]
+    hi = jax.vmap(functools.partial(jnp.searchsorted, side="right"))(
+        zs, qzs + radius + margin)
+    # per-tile shared window: qzs ascending => lo/hi monotone across the tile
+    lo_t = lo.reshape(B, T, s_tile)[:, :, 0]
+    hi_t = hi.reshape(B, T, s_tile)[:, :, -1]
+    start = jnp.clip((lo_t // 128) * 128, 0, N - C).astype(jnp.int32)
+    fits = jnp.all(hi_t - start <= C)
+
+    def _windowed(_):
+        grid = (B, T)
+        kernel = functools.partial(_ballquery_window_kernel, float(radius),
+                                   nsample, N, C)
+        out_sorted = pl.pallas_call(
+            kernel,
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec(memory_space=pltpu.SMEM),  # full [B, T] starts
+                pl.BlockSpec((1, 3, N), lambda i, j: (i, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, 1, N), lambda i, j: (i, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, s_tile, 3), lambda i, j: (i, j, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((1, s_tile, nsample),
+                                   lambda i, j: (i, j, 0),
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((B, S, nsample), jnp.int32),
+        )(start, planes, order[:, None, :], q_sorted)
+        return jnp.take_along_axis(out_sorted, inv[:, :, None], axis=1)
+
+    def _full(_):
+        return query_ball_point(radius, nsample, xyz, queries)
+
+    return lax.cond(fits, _windowed, _full, operand=None)
