@@ -86,6 +86,7 @@ def main():
         "host_grid_s_per_vote": round(host_grid_s, 2),
         "host_full_featurize_s_per_vote": round(host_featurize_s, 2),
         "device_features": runner.device_features,
+        "device_reblock": runner.device_reblock,
         "value": round(pps, 1),
     }))
 

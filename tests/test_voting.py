@@ -204,3 +204,81 @@ def test_runner_mesh_batch_size_validation(scene):
     with pytest.raises(ValueError, match="multiple of the mesh"):
         InferenceRunner(model, var, num_classes=8, batch_size=6,
                         mesh=make_mesh(8))
+
+
+# ---- device-side re-blocking (per-vote upload -> one PRNG fold-in) ----
+
+def _tiny_scene(n=2500, seed=0):
+    r = np.random.default_rng(seed)
+    xyz = np.stack([r.uniform(0, 3, n), r.uniform(0, 2, n),
+                    r.uniform(0, 5, n)], 1)
+    labels = r.integers(0, 8, n)
+    ds = TestGridDataset(num_classes=8, block_points=256, seed=0)
+    ds.scene_points_list = [xyz]
+    ds.semantic_labels_list = [labels]
+    ds.file_list = ["scene.las"]
+    ds.labelweights = np.ones(8, dtype=np.float32)
+    return ds
+
+
+def test_device_reblock_cell_membership_and_coverage():
+    from tumseg.infer.voting import _build_reblock_arrays, _reblock_on_device
+
+    ds = _tiny_scene()
+    cells = ds.grid_structure(0)
+    fb, st, ct, sz, _ = _build_reblock_arrays(cells, 256)
+    L = fb.shape[0]
+    jsz = jnp.asarray(sz)
+    starts_pos = jnp.repeat(jnp.asarray(st), jsz, total_repeat_length=L)
+    counts_pos = jnp.repeat(jnp.asarray(ct), jsz, total_repeat_length=L)
+    cell_rank = jnp.repeat(jnp.arange(len(sz), dtype=jnp.int32), jsz,
+                           total_repeat_length=L)
+    flat = np.asarray(_reblock_on_device(
+        jax.random.PRNGKey(3), jnp.asarray(fb), starts_pos, counts_pos,
+        cell_rank, 256)).reshape(-1)
+
+    pos = 0
+    for (cand, _, _), s in zip(cells, sz):
+        region = set(flat[pos:pos + s].tolist())
+        pos += s
+        cs = set(cand.tolist())
+        assert region <= cs      # fills only draw in-cell candidates
+        assert cs <= region      # every original candidate still votes
+    # deterministic given the key
+    flat2 = np.asarray(_reblock_on_device(
+        jax.random.PRNGKey(3), jnp.asarray(fb), starts_pos, counts_pos,
+        cell_rank, 256)).reshape(-1)
+    np.testing.assert_array_equal(flat, flat2)
+
+
+def test_device_reblock_runner_end_to_end():
+    from tumseg import models
+    from tumseg.infer.voting import InferenceRunner
+
+    ds = _tiny_scene()
+    model = models.get_module("pointnet_sem_seg")
+    variables = model.init(jax.random.PRNGKey(0), 8, 0)
+    runner = InferenceRunner(model, variables, num_classes=8, batch_size=4,
+                             device_features=True, device_reblock=True)
+    assert runner.device_reblock
+    pred = runner.infer_scene(ds, 0, num_votes=2)
+    assert pred.shape == (len(ds.semantic_labels_list[0]),)
+    assert ((pred >= 0) & (pred < 8)).all()
+    # gate off must also work (and the pool sees every point >= once)
+    pred2 = runner.infer_scene(ds, 0, num_votes=1, gt_weight_gate=False)
+    assert pred2.shape == pred.shape
+
+
+def test_grid_structure_cache_identity_and_invalidation():
+    ds = _tiny_scene()
+    c1 = ds.grid_structure(0)
+    assert ds.grid_structure(0) is c1  # cached
+    # same seed, fresh dataset -> identical stochastic blocking
+    ds_b = _tiny_scene()
+    ia, oa = ds.grid_indices(0)
+    ib, ob = ds_b.grid_indices(0)
+    np.testing.assert_array_equal(ia, ib)
+    np.testing.assert_array_equal(oa, ob)
+    # replacing the scene array invalidates the cache
+    ds.scene_points_list[0] = ds.scene_points_list[0].copy()
+    assert ds.grid_structure(0) is not c1

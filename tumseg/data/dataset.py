@@ -289,14 +289,21 @@ class TestGridDataset:
     def __len__(self):
         return len(self.scene_points_list)
 
-    def grid_indices(self, index):
-        """The sliding-grid blocking WITHOUT feature assembly: returns
-        (point_idxs [n_blocks, block_points] int64, offsets [n_blocks, 2]
-        float64 = each block's (s_x, s_y) corner). Consumes the same RNG
-        draws in the same order as __getitem__, which builds its features
-        from this. The device featurizer (infer.voting) uses it to avoid
-        shipping 9-channel float blocks through the slow host->TPU link —
-        only these indices travel per vote."""
+    def grid_structure(self, index):
+        """The DETERMINISTIC part of the sliding-grid blocking, cached per
+        scene: a list of (point_idxs sorted-ascending, s_x, s_y) per
+        non-empty grid cell. Only the shortfall fill + shuffle are stochastic
+        per vote (grid_indices), so re-blocking every vote no longer re-pays
+        the binning/argsort/inside tests. The cache keys on the scene array's
+        identity, so index_update/copy (which rebuild the lists) invalidate
+        naturally."""
+        cache = getattr(self, "_grid_cache", None)
+        if cache is None:
+            cache = self._grid_cache = {}
+        hit = cache.get(index)
+        if hit is not None and hit[0] is self.scene_points_list[index]:
+            return hit[1]
+
         points = self.scene_points_list[index][:, :3]
         coord_min = np.amin(points, axis=0)[:3]
         coord_max = np.amax(points, axis=0)[:3]
@@ -332,7 +339,7 @@ class TestGridDataset:
                      for b in range(bx0, bx1 + 1)]
             return np.sort(np.concatenate(parts)) if parts else order[:0]
 
-        index_blocks, offsets = [], []
+        cells = []
         for index_y in range(grid_y):
             for index_x in range(grid_x):
                 s_x = coord_min[0] + index_x * self.stride
@@ -348,16 +355,30 @@ class TestGridDataset:
                 point_idxs = cand[inside]
                 if point_idxs.size == 0:
                     continue
+                cells.append((point_idxs, s_x, s_y))
 
-                num_batch = int(np.ceil(point_idxs.size / self.block_points))
-                point_size = int(num_batch * self.block_points)
-                shortfall = point_size - point_idxs.size
-                replace = shortfall > point_idxs.size
-                repeat = self._rng.choice(point_idxs, shortfall, replace=replace)
-                point_idxs = np.concatenate((point_idxs, repeat))
-                self._rng.shuffle(point_idxs)
-                index_blocks.append(point_idxs.reshape(-1, self.block_points))
-                offsets.append(np.repeat([[s_x, s_y]], num_batch, axis=0))
+        cache[index] = (self.scene_points_list[index], cells)
+        return cells
+
+    def grid_indices(self, index):
+        """The sliding-grid blocking WITHOUT feature assembly: returns
+        (point_idxs [n_blocks, block_points] int64, offsets [n_blocks, 2]
+        float64 = each block's (s_x, s_y) corner). Consumes the same RNG
+        draws in the same order as __getitem__, which builds its features
+        from this. The device featurizer (infer.voting) uses it to avoid
+        shipping 9-channel float blocks through the slow host->TPU link —
+        only these indices travel per vote."""
+        index_blocks, offsets = [], []
+        for point_idxs, s_x, s_y in self.grid_structure(index):
+            num_batch = int(np.ceil(point_idxs.size / self.block_points))
+            point_size = int(num_batch * self.block_points)
+            shortfall = point_size - point_idxs.size
+            replace = shortfall > point_idxs.size
+            repeat = self._rng.choice(point_idxs, shortfall, replace=replace)
+            point_idxs = np.concatenate((point_idxs, repeat))
+            self._rng.shuffle(point_idxs)
+            index_blocks.append(point_idxs.reshape(-1, self.block_points))
+            offsets.append(np.repeat([[s_x, s_y]], num_batch, axis=0))
 
         return (np.concatenate(index_blocks, axis=0),
                 np.concatenate(offsets, axis=0))
@@ -481,6 +502,7 @@ class TestGridDataset:
     def save_data(self, file_path):
         state = self.__dict__.copy()
         state.pop("_rng", None)
+        state.pop("_grid_cache", None)  # derived; rebuilt lazily
         with open(file_path, "wb") as f:
             pickle.dump(state, f)
 

@@ -47,6 +47,60 @@ def _scatter_votes(pool: jnp.ndarray, point_idx: jnp.ndarray,
     return pool.at[flat_idx, flat_pred].add(flat_keep)
 
 
+def _build_reblock_arrays(cells, block_points: int):
+    """Host-side one-time flats for DEVICE re-blocking: concatenate every
+    cell's candidates padded to a block_points multiple (zeros in the
+    shortfall slots, replaced on device by random in-cell picks). Region
+    layout is static per scene, so after the in-cell shuffle the flat
+    sequence reshapes straight into [NB, block_points] blocks."""
+    import numpy as np
+
+    sizes, counts, base_parts, offsets = [], [], [], []
+    for point_idxs, s_x, s_y in cells:
+        n = int(point_idxs.size)
+        num_batch = int(np.ceil(n / block_points))
+        ps = num_batch * block_points
+        buf = np.zeros(ps, np.int32)
+        buf[:n] = point_idxs
+        base_parts.append(buf)
+        sizes.append(ps)
+        counts.append(n)
+        offsets.append(np.repeat([[s_x, s_y]], num_batch, axis=0))
+    flat_base = np.concatenate(base_parts).astype(np.int32)
+    return (flat_base, np.asarray(region_starts_of(sizes), np.int32),
+            np.asarray(counts, np.int32), np.asarray(sizes, np.int32),
+            np.concatenate(offsets, axis=0).astype(np.float32))
+
+
+def region_starts_of(sizes):
+    import numpy as np
+
+    return np.concatenate([[0], np.cumsum(sizes)[:-1]]).astype(np.int32)
+
+
+@partial(jax.jit, static_argnums=(5,))
+def _reblock_on_device(key, flat_base, starts_pos, counts_pos, cell_rank,
+                       block_points: int):
+    """One vote's re-blocking entirely on device: fill shortfall slots with
+    random in-cell candidates, then shuffle within each cell (stable
+    two-key sort: cell rank, random bits). Returns [NB, block_points] int32.
+    Replicates grid_indices' sampling semantics with jax.random instead of
+    the host Generator (fills draw with replacement; the host path draws
+    without replacement when shortfall <= count — a distribution nuance on
+    the duplicated padding points only)."""
+    L = flat_base.shape[0]
+    kf, ks = jax.random.split(key)
+    u = jax.random.uniform(kf, (L,), jnp.float32)
+    r = jnp.minimum((u * counts_pos).astype(jnp.int32), counts_pos - 1)
+    fill_val = jnp.take(flat_base, starts_pos + r, axis=0)
+    pos_in_cell = jnp.arange(L, dtype=jnp.int32) - starts_pos
+    seq = jnp.where(pos_in_cell >= counts_pos, fill_val, flat_base)
+    rand_bits = jax.random.bits(ks, (L,), jnp.uint32)
+    _, _, shuffled = jax.lax.sort((cell_rank, rand_bits, seq), dimension=0,
+                                  num_keys=2)
+    return shuffled.reshape(-1, block_points)
+
+
 class InferenceRunner:
     """Batched, optionally mesh-sharded forward + device vote pooling.
 
@@ -61,7 +115,8 @@ class InferenceRunner:
 
     def __init__(self, model, variables: Dict, num_classes: int,
                  batch_size: int = 32, mesh=None, compute_dtype=None,
-                 device_features="auto"):
+                 device_features="auto", device_reblock="auto",
+                 seed: int = 0):
         self.model = model
         self.variables = variables
         self.num_classes = num_classes
@@ -71,7 +126,15 @@ class InferenceRunner:
         if device_features == "auto":
             device_features = jax.default_backend() in ("tpu", "axon")
         self.device_features = bool(device_features)
+        if device_reblock == "auto":
+            # the whole-vote scan path needs single-device arrays; the mesh
+            # path keeps host re-blocking (its uploads shard over devices)
+            device_reblock = self.device_features and mesh is None
+        self.device_reblock = bool(device_reblock) and mesh is None
+        self._base_key = jax.random.PRNGKey(int(seed))
         self._scene_cache = {}
+        self._grid_cache = {}
+        self._vote_fn_cache = {}
 
         def forward(variables, points):
             logp, _, _ = model.apply(variables, points, training=False,
@@ -114,6 +177,8 @@ class InferenceRunner:
                 feats.append(extra)
             points = jnp.concatenate(feats, axis=-1)
             return forward(variables, points)
+
+        self._forward_featurized_fn = forward_featurized  # raw, for scan use
 
         if mesh is not None:
             from jax.sharding import PartitionSpec as P
@@ -182,6 +247,103 @@ class InferenceRunner:
                 jnp.asarray(pts.max(axis=0)), jnp.asarray(color_mask))
         return self._scene_cache[key]
 
+    def _grid_tensors(self, dataset, scene_idx: int):
+        """Upload the scene's deterministic grid structure once; every vote
+        then needs only a PRNG fold-in (the per-vote index upload — ~17 MB
+        at 1M points through the ~30 MB/s tunnel — was the serving-path
+        bottleneck after device featurization)."""
+        key = (id(dataset), scene_idx)
+        if key not in self._grid_cache:
+            cells = dataset.grid_structure(scene_idx)
+            flat_base, starts, counts, sizes, offsets = _build_reblock_arrays(
+                cells, dataset.block_points)
+            L = flat_base.shape[0]
+            nc = starts.shape[0]
+            jsizes = jnp.asarray(sizes)
+            starts_pos = jnp.repeat(jnp.asarray(starts), jsizes,
+                                    total_repeat_length=L)
+            counts_pos = jnp.repeat(jnp.asarray(counts), jsizes,
+                                    total_repeat_length=L)
+            cell_rank = jnp.repeat(jnp.arange(nc, dtype=jnp.int32), jsizes,
+                                   total_repeat_length=L)
+            nb = L // dataset.block_points
+            bs = self.batch_size
+            nb_pad = int(np.ceil(nb / bs) * bs)
+            offsets_pad = np.zeros((nb_pad, 2), np.float32)
+            offsets_pad[:nb] = offsets
+            real_mask = np.zeros((nb_pad,), bool)
+            real_mask[:nb] = True
+            self._grid_cache[key] = (
+                jnp.asarray(flat_base), starts_pos, counts_pos, cell_rank,
+                jnp.asarray(offsets_pad), jnp.asarray(real_mask), nb, nb_pad)
+        return self._grid_cache[key]
+
+    def _vote_scan_fn(self, block_size: float, n_feat_extra: int):
+        """One jit per (block shape): runs ALL of a vote's blocks through
+        featurize+forward+vote-scatter as a lax.scan — a single device
+        dispatch per vote."""
+        cache_key = (float(block_size), n_feat_extra, self.batch_size)
+        if cache_key in self._vote_fn_cache:
+            return self._vote_fn_cache[cache_key]
+
+        forward_featurized = self._forward_featurized_fn
+        bs = self.batch_size
+
+        @partial(jax.jit, static_argnames=("gate",), donate_argnums=(8,))
+        def vote(variables, scene_xyz, scene_extra, coord_max, color_mask,
+                 labels, lw, chunks, pool, gate=True):
+            idx_all, offs_all, real_all = chunks
+
+            def body(pool, chunk):
+                idx, offs, real = chunk
+                pred = forward_featurized(variables, scene_xyz, scene_extra,
+                                          coord_max, color_mask, idx, offs,
+                                          block_size)
+                if gate:
+                    smpw = lw[labels[idx]]
+                    keep = (smpw != 0) & ~jnp.isinf(smpw) & real[:, None]
+                else:
+                    keep = jnp.broadcast_to(real[:, None], idx.shape)
+                pool = pool.at[idx.reshape(-1), pred.reshape(-1)].add(
+                    keep.reshape(-1).astype(pool.dtype))
+                return pool, None
+
+            nchunks = idx_all.shape[0] // bs
+            pool, _ = jax.lax.scan(
+                body, pool,
+                (idx_all.reshape(nchunks, bs, -1),
+                 offs_all.reshape(nchunks, bs, 2),
+                 real_all.reshape(nchunks, bs)))
+            return pool
+
+        self._vote_fn_cache[cache_key] = vote
+        return vote
+
+    def _infer_scene_device_reblock(self, dataset, scene_idx, num_votes,
+                                    gt_weight_gate):
+        labels_np = dataset.semantic_labels_list[scene_idx].astype(np.int32)
+        scene_xyz, scene_extra, coord_max, color_mask = self._scene_tensors(
+            dataset, scene_idx)
+        (flat_base, starts_pos, counts_pos, cell_rank, offsets_pad,
+         real_mask, nb, nb_pad) = self._grid_tensors(dataset, scene_idx)
+        labels = jnp.asarray(labels_np)
+        lw = jnp.asarray(np.asarray(dataset.labelweights, np.float32))
+        pool = jnp.zeros((labels_np.shape[0], self.num_classes), jnp.float32)
+        vote_fn = self._vote_scan_fn(float(dataset.block_size),
+                                     int(scene_extra.shape[1]))
+        bp = int(dataset.block_points)
+        for vote in range(num_votes):
+            k = jax.random.fold_in(self._base_key, vote)
+            idx_blocks = _reblock_on_device(k, flat_base, starts_pos,
+                                            counts_pos, cell_rank, bp)
+            if nb_pad > nb:
+                idx_blocks = jnp.pad(idx_blocks, ((0, nb_pad - nb), (0, 0)))
+            pool = vote_fn(self.variables, scene_xyz, scene_extra, coord_max,
+                           color_mask, labels, lw,
+                           (idx_blocks, offsets_pad, real_mask), pool,
+                           gate=bool(gt_weight_gate))
+        return np.asarray(jnp.argmax(pool, axis=1))
+
     def _infer_scene_device_features(self, dataset, scene_idx, num_votes,
                                      gt_weight_gate):
         from concurrent.futures import ThreadPoolExecutor
@@ -231,6 +393,10 @@ class InferenceRunner:
         for the whole scene [N_scene]."""
         from concurrent.futures import ThreadPoolExecutor
 
+        if (self.device_reblock and self.device_features
+                and hasattr(dataset, "grid_structure")):
+            return self._infer_scene_device_reblock(
+                dataset, scene_idx, num_votes, gt_weight_gate)
         if self.device_features and hasattr(dataset, "grid_indices"):
             return self._infer_scene_device_features(
                 dataset, scene_idx, num_votes, gt_weight_gate)

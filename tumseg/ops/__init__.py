@@ -60,6 +60,12 @@ def farthest_point_sample(xyz, npoint, start=None):
 def query_ball_point(radius, nsample, xyz, new_xyz):
     if _use_pallas() and xyz.shape[1] * new_xyz.shape[1] >= _BALLQUERY_PALLAS_MIN:
         try:
+            N, S = xyz.shape[1], new_xyz.shape[1]
+            if _WINDOW and N >= _WINDOW_MIN_N and N % 128 == 0 and S >= 256:
+                from tumseg.ops.pallas.ballquery import (
+                    query_ball_point_windowed)
+                return query_ball_point_windowed(
+                    radius, nsample, xyz, new_xyz, _bq_window(N))
             return _pallas().query_ball_point(radius, nsample, xyz, new_xyz)
         except NotImplementedError:
             pass
@@ -77,6 +83,33 @@ def query_ball_point(radius, nsample, xyz, new_xyz):
 _THREE_NN_PALLAS_MIN = 0          # N * S
 _FPS_PALLAS_MIN = 0               # N * npoint
 _BALLQUERY_PALLAS_MIN = 0         # N * S
+
+# z-window pruning (ballquery/threenn *_windowed): opt-in via
+# TUMSEG_OPS_WINDOW=1 or set_window(True). The windowed paths carry an
+# on-device exactness guard with full-kernel fallback, so enabling them is
+# never a semantics change — but the sort/searchsorted glue only amortizes
+# on real-scan geometry (facade blocks: metres of z-spread vs r=0.1 balls).
+# On uniform-cube micro-bench data the in-radius z-slab is ~20% of N and the
+# windows degenerate, so the default stays off (measured: window C1536 loses
+# to the full kernel there, benchmarks/window_probe*.py).
+_WINDOW_MIN_N = 4096
+_WINDOW = os.environ.get("TUMSEG_OPS_WINDOW", "0") == "1"
+
+
+def set_window(enabled: bool) -> None:
+    """Enable z-window pruned extraction kernels (real-scan geometry)."""
+    global _WINDOW
+    _WINDOW = bool(enabled)
+
+
+def _bq_window(n: int) -> int:
+    # a 128-query tile spans ~N/8 candidate ranks; real facade blocks add
+    # only a thin in-radius z-slab on top of that
+    return min(n, max(1024, (n // 4 + 127) // 128 * 128))
+
+
+def _three_nn_window(s: int) -> int:
+    return min(s, max(384, (s * 3 // 8 + 127) // 128 * 128))
 
 
 _GATHER_ROWS_PALLAS_MIN = 1 << 16  # N * S below this: XLA gather wins
@@ -134,6 +167,10 @@ def sample_and_group(npoint, radius, nsample, xyz, points, fps_start=None,
 def three_nn_dispatch(xyz1, xyz2):
     if _use_pallas() and xyz1.shape[1] * xyz2.shape[1] >= _THREE_NN_PALLAS_MIN:
         try:
+            N, S = xyz1.shape[1], xyz2.shape[1]
+            if _WINDOW and N >= _WINDOW_MIN_N and S >= 1024 and S % 128 == 0:
+                from tumseg.ops.pallas.threenn import three_nn_windowed
+                return three_nn_windowed(xyz1, xyz2, _three_nn_window(S))
             return _pallas().three_nn(xyz1, xyz2)
         except NotImplementedError:
             pass

@@ -163,6 +163,20 @@ def _sort_with_payload(keys, *payloads):
     return lax.sort((keys, iota) + payloads, dimension=1, num_keys=1)
 
 
+def _unpermute_rows_int(values: jnp.ndarray, inv: jnp.ndarray) -> jnp.ndarray:
+    """Row gather values[b, inv[b, s], :] for int payloads via the one-hot
+    MXU group kernel (XLA's dynamic row gather costs ~1 ms at [32,1024,32];
+    the contraction is ~0.05 ms). Values must be < 2^24 (exact in the 3-way
+    bf16 split)."""
+    from tumseg.ops.pallas.group import group_points
+
+    B, S, K = values.shape
+    zeros = jnp.zeros((B, S, 3), dtype=jnp.float32)
+    g = group_points(inv[:, :, None], values.astype(jnp.float32), zeros,
+                     fast=False)
+    return jnp.rint(g[:, :, 0, :]).astype(values.dtype)
+
+
 @functools.partial(jax.jit, static_argnums=(0, 1, 4, 5))
 def query_ball_point_windowed(radius: float, nsample: int, xyz: jnp.ndarray,
                               new_xyz: jnp.ndarray, window: int = 1536,
@@ -197,16 +211,20 @@ def query_ball_point_windowed(radius: float, nsample: int, xyz: jnp.ndarray,
         jnp.arange(S, dtype=jnp.int32), qorder.shape)), dimension=1,
         num_keys=1)
 
-    # per-query in-radius rank bounds, with a margin covering the kernel's
-    # d = dx^2+dy^2+dz^2 rounding at the r^2 boundary (few-ulp slack)
-    margin = (radius + jnp.abs(qzs)) * 1e-6
-    lo = jax.vmap(functools.partial(jnp.searchsorted, side="left"))(
-        zs, qzs - radius - margin)                        # [B, S]
-    hi = jax.vmap(functools.partial(jnp.searchsorted, side="right"))(
-        zs, qzs + radius + margin)
-    # per-tile shared window: qzs ascending => lo/hi monotone across the tile
-    lo_t = lo.reshape(B, T, s_tile)[:, :, 0]
-    hi_t = hi.reshape(B, T, s_tile)[:, :, -1]
+    # per-tile in-radius rank bounds, with a margin covering the kernel's
+    # d = dx^2+dy^2+dz^2 rounding at the r^2 boundary (few-ulp slack).
+    # qzs ascending => lo/hi are monotone across each tile, so only the
+    # boundary queries (first: window lo; last: window hi) need searching —
+    # 2T probes per batch row instead of 2S (searchsorted's gather steps were
+    # the dominant glue cost, benchmarks/window_probe2.py).
+    qz_first = qzs[:, ::s_tile]                           # [B, T]
+    qz_last = qzs[:, s_tile - 1::s_tile]
+    m_first = (radius + jnp.abs(qz_first)) * 1e-6
+    m_last = (radius + jnp.abs(qz_last)) * 1e-6
+    lo_t = jax.vmap(functools.partial(jnp.searchsorted, side="left"))(
+        zs, qz_first - radius - m_first)                  # [B, T]
+    hi_t = jax.vmap(functools.partial(jnp.searchsorted, side="right"))(
+        zs, qz_last + radius + m_last)
     start = jnp.clip((lo_t // 128) * 128, 0, N - C).astype(jnp.int32)
     fits = jnp.all(hi_t - start <= C)
 
@@ -231,7 +249,7 @@ def query_ball_point_windowed(radius: float, nsample: int, xyz: jnp.ndarray,
                                    memory_space=pltpu.VMEM),
             out_shape=jax.ShapeDtypeStruct((B, S, nsample), jnp.int32),
         )(start, planes, order[:, None, :], q_sorted)
-        return jnp.take_along_axis(out_sorted, inv[:, :, None], axis=1)
+        return _unpermute_rows_int(out_sorted, inv)
 
     def _full(_):
         return query_ball_point(radius, nsample, xyz, queries)
