@@ -32,6 +32,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from tumseg import ops as tumseg_ops
 from tumseg.parallel import mesh as pmesh
 from tumseg.train import metrics as M
 from tumseg.viz.writers import write_labels_txt, write_obj_pointcloud
@@ -131,6 +132,9 @@ class InferenceRunner:
             # path keeps host re-blocking (its uploads shard over devices)
             device_reblock = self.device_features and mesh is None
         self.device_reblock = bool(device_reblock) and mesh is None
+        # z-window extraction kernels pay off on real-scan blocks (metres of
+        # z for r=0.1 balls); guarded-exact, so "auto" follows device_reblock
+        self.window_ops = self.device_reblock
         self._base_key = jax.random.PRNGKey(int(seed))
         self._scene_cache = {}
         self._grid_cache = {}
@@ -281,40 +285,42 @@ class InferenceRunner:
     def _vote_scan_fn(self, block_size: float, n_feat_extra: int):
         """One jit per (block shape): runs ALL of a vote's blocks through
         featurize+forward+vote-scatter as a lax.scan — a single device
-        dispatch per vote."""
+        dispatch per vote. No per-chunk masking: padded blocks carry
+        idx == N_scene and vote into a dump row (pool has N_scene+1 rows);
+        the gt-weight gate is a per-scene-point CONSTANT (labelweights of
+        the ground-truth label), so it is applied once to the finished pool
+        instead of per-chunk gathers (measured 67 ms/vote at 1M points)."""
         cache_key = (float(block_size), n_feat_extra, self.batch_size)
         if cache_key in self._vote_fn_cache:
             return self._vote_fn_cache[cache_key]
 
         forward_featurized = self._forward_featurized_fn
         bs = self.batch_size
+        C = self.num_classes
 
-        @partial(jax.jit, static_argnames=("gate",), donate_argnums=(8,))
+        @partial(jax.jit, donate_argnums=(7,))
         def vote(variables, scene_xyz, scene_extra, coord_max, color_mask,
-                 labels, lw, chunks, pool, gate=True):
-            idx_all, offs_all, real_all = chunks
-
-            def body(pool, chunk):
-                idx, offs, real = chunk
+                 idx_all, offs_all, pool_flat):
+            # pool is carried FLAT [(N+1)*C]: the 1-D scatter-add lowers
+            # ~1.7x faster than the 2-D (idx, pred) form (benchmarks/
+            # serve_probe2.py: 458 vs 510 ms/vote at 1M points)
+            def body(pool_flat, chunk):
+                idx, offs = chunk
                 pred = forward_featurized(variables, scene_xyz, scene_extra,
-                                          coord_max, color_mask, idx, offs,
-                                          block_size)
-                if gate:
-                    smpw = lw[labels[idx]]
-                    keep = (smpw != 0) & ~jnp.isinf(smpw) & real[:, None]
-                else:
-                    keep = jnp.broadcast_to(real[:, None], idx.shape)
-                pool = pool.at[idx.reshape(-1), pred.reshape(-1)].add(
-                    keep.reshape(-1).astype(pool.dtype))
-                return pool, None
+                                          coord_max, color_mask,
+                                          jnp.minimum(idx, scene_xyz.shape[0]
+                                                      - 1),
+                                          offs, block_size)
+                flat = idx.reshape(-1) * C + pred.reshape(-1)
+                pool_flat = pool_flat.at[flat].add(1.0)
+                return pool_flat, None
 
             nchunks = idx_all.shape[0] // bs
-            pool, _ = jax.lax.scan(
-                body, pool,
+            pool_flat, _ = jax.lax.scan(
+                body, pool_flat,
                 (idx_all.reshape(nchunks, bs, -1),
-                 offs_all.reshape(nchunks, bs, 2),
-                 real_all.reshape(nchunks, bs)))
-            return pool
+                 offs_all.reshape(nchunks, bs, 2)))
+            return pool_flat
 
         self._vote_fn_cache[cache_key] = vote
         return vote
@@ -322,13 +328,14 @@ class InferenceRunner:
     def _infer_scene_device_reblock(self, dataset, scene_idx, num_votes,
                                     gt_weight_gate):
         labels_np = dataset.semantic_labels_list[scene_idx].astype(np.int32)
+        n_scene = labels_np.shape[0]
         scene_xyz, scene_extra, coord_max, color_mask = self._scene_tensors(
             dataset, scene_idx)
         (flat_base, starts_pos, counts_pos, cell_rank, offsets_pad,
          real_mask, nb, nb_pad) = self._grid_tensors(dataset, scene_idx)
-        labels = jnp.asarray(labels_np)
-        lw = jnp.asarray(np.asarray(dataset.labelweights, np.float32))
-        pool = jnp.zeros((labels_np.shape[0], self.num_classes), jnp.float32)
+        # dump row n_scene absorbs padded blocks' votes
+        C = self.num_classes
+        pool_flat = jnp.zeros(((n_scene + 1) * C,), jnp.float32)
         vote_fn = self._vote_scan_fn(float(dataset.block_size),
                                      int(scene_extra.shape[1]))
         bp = int(dataset.block_points)
@@ -337,11 +344,26 @@ class InferenceRunner:
             idx_blocks = _reblock_on_device(k, flat_base, starts_pos,
                                             counts_pos, cell_rank, bp)
             if nb_pad > nb:
-                idx_blocks = jnp.pad(idx_blocks, ((0, nb_pad - nb), (0, 0)))
-            pool = vote_fn(self.variables, scene_xyz, scene_extra, coord_max,
-                           color_mask, labels, lw,
-                           (idx_blocks, offsets_pad, real_mask), pool,
-                           gate=bool(gt_weight_gate))
+                idx_blocks = jnp.pad(idx_blocks, ((0, nb_pad - nb), (0, 0)),
+                                     constant_values=n_scene)
+            # real-scan geometry: blocks are 1m x 1m xy columns with metres
+            # of z-spread, exactly where the z-window pruned extraction
+            # kernels win (~10% of the vote scan, benchmarks/serve_probe.py)
+            with tumseg_ops.window_enabled(self.window_ops):
+                pool_flat = vote_fn(self.variables, scene_xyz, scene_extra,
+                                    coord_max, color_mask, idx_blocks,
+                                    offsets_pad, pool_flat)
+        pool = pool_flat.reshape(n_scene + 1, C)[:n_scene]
+        if gt_weight_gate:
+            # reference semantics (localfunctions.py:344): votes only count
+            # where labelweights[gt] is finite nonzero. That is a constant
+            # per scene point, so masking the finished pool is equivalent to
+            # gating each vote (a zeroed row argmaxes to 0, same as a row
+            # that never received votes).
+            lw = np.asarray(dataset.labelweights, np.float32)
+            smpw = lw[labels_np]
+            keep = jnp.asarray((smpw != 0) & ~np.isinf(smpw))
+            pool = jnp.where(keep[:, None], pool, 0.0)
         return np.asarray(jnp.argmax(pool, axis=1))
 
     def _infer_scene_device_features(self, dataset, scene_idx, num_votes,

@@ -102,6 +102,25 @@ def set_window(enabled: bool) -> None:
     _WINDOW = bool(enabled)
 
 
+class window_enabled:
+    """Context manager: windowed extraction kernels for traces entered
+    inside (used by the serving path, whose scenes are real scans)."""
+
+    def __init__(self, enabled: bool = True):
+        self.enabled = bool(enabled)
+
+    def __enter__(self):
+        global _WINDOW
+        self._prev = _WINDOW
+        _WINDOW = self.enabled
+        return self
+
+    def __exit__(self, *exc):
+        global _WINDOW
+        _WINDOW = self._prev
+        return False
+
+
 def _bq_window(n: int) -> int:
     # a 128-query tile spans ~N/8 candidate ranks; real facade blocks add
     # only a thin in-radius z-slab on top of that

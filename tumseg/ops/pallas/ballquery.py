@@ -217,13 +217,17 @@ def query_ball_point_windowed(radius: float, nsample: int, xyz: jnp.ndarray,
     # boundary queries (first: window lo; last: window hi) need searching —
     # 2T probes per batch row instead of 2S (searchsorted's gather steps were
     # the dominant glue cost, benchmarks/window_probe2.py).
+    # method="compare_all": one broadcast compare+reduce. The default
+    # binary-search method costs ~0.4 ms per step in gather LATENCY on TPU
+    # (size-independent), ~10 ms for the pair — measured, window_probe2.py.
     qz_first = qzs[:, ::s_tile]                           # [B, T]
     qz_last = qzs[:, s_tile - 1::s_tile]
     m_first = (radius + jnp.abs(qz_first)) * 1e-6
     m_last = (radius + jnp.abs(qz_last)) * 1e-6
-    lo_t = jax.vmap(functools.partial(jnp.searchsorted, side="left"))(
+    ss = functools.partial(jnp.searchsorted, method="compare_all")
+    lo_t = jax.vmap(functools.partial(ss, side="left"))(
         zs, qz_first - radius - m_first)                  # [B, T]
-    hi_t = jax.vmap(functools.partial(jnp.searchsorted, side="right"))(
+    hi_t = jax.vmap(functools.partial(ss, side="right"))(
         zs, qz_last + radius + m_last)
     start = jnp.clip((lo_t // 128) * 128, 0, N - C).astype(jnp.int32)
     fits = jnp.all(hi_t - start <= C)

@@ -188,10 +188,12 @@ def _three_nn_windowed_impl(xyz1, xyz2, window: int, n_tile: int):
         jnp.arange(N, dtype=jnp.int32), qorder.shape)), dimension=1,
         num_keys=1)
 
-    # center each tile's window on its source-rank span
-    rq = jax.vmap(jnp.searchsorted)(zs, qzs)              # [B, N]
-    lo_t = rq.reshape(B, T, n_tile)[:, :, 0]
-    hi_t = rq.reshape(B, T, n_tile)[:, :, -1]
+    # center each tile's window on its source-rank span; only the tile
+    # boundary queries are ranked (monotone in sorted order), and
+    # compare_all avoids the latency-bound binary-search gathers
+    ss = functools.partial(jnp.searchsorted, method="compare_all")
+    lo_t = jax.vmap(ss)(zs, qzs[:, ::n_tile])             # [B, T]
+    hi_t = jax.vmap(ss)(zs, qzs[:, n_tile - 1::n_tile])
     start = jnp.clip((((lo_t + hi_t) // 2 - C // 2) // 128) * 128,
                      0, S - C).astype(jnp.int32)
 
@@ -242,8 +244,14 @@ def _three_nn_windowed_impl(xyz1, xyz2, window: int, n_tile: int):
     fits = jnp.all(left_ok & right_ok)
 
     def _use_windowed(_):
-        return (jnp.take_along_axis(dists_s, inv[:, :, None], axis=1),
-                jnp.take_along_axis(idx_s, inv[:, :, None], axis=1))
+        # one-hot MXU row gather; XLA's take_along costs ~1 ms each here
+        from tumseg.ops.pallas.group import group_points
+
+        packed = jnp.concatenate([dists_s, idx_s.astype(jnp.float32)],
+                                 axis=-1)                 # [B, N, 6]
+        zeros = jnp.zeros((B, N, 3), dtype=jnp.float32)
+        g = group_points(inv[:, :, None], packed, zeros, fast=False)[:, :, 0]
+        return g[:, :, :3], jnp.rint(g[:, :, 3:]).astype(jnp.int32)
 
     def _full(_):
         return _three_nn_impl(queries, sources)
