@@ -224,6 +224,30 @@ def test_ballquery_windowed_matches_xla(r, window, s_tile):
     np.testing.assert_array_equal(got, want)
 
 
+def test_ballquery_windowed_tiers_match_xla():
+    """Tuple window = tiered cond chain (smallest covering tier wins); every
+    data shape must still be exact, including ones where only the larger
+    tier (or no tier) covers."""
+    from tumseg.ops.pallas.ballquery import query_ball_point_windowed
+
+    rng = np.random.default_rng(9)
+    # thin z-slab: smallest tier covers
+    thin = rng.random((2, 512, 3))
+    thin[:, :, 2] *= 8.0  # z-spread >> r, windows tiny
+    # uniform cube: needs the larger tier
+    cube = rng.random((2, 512, 3))
+    # degenerate z: nothing covers, full-kernel fallback
+    flat = rng.random((2, 512, 3))
+    flat[:, :, 2] = 0.5
+    for pts in (thin, cube, flat):
+        xyz = jnp.asarray(pts, jnp.float32)
+        new_xyz = xyz[:, :128, :]
+        want = np.asarray(xla_ops.query_ball_point(0.1, 8, xyz, new_xyz))
+        got = np.asarray(query_ball_point_windowed(0.1, 8, xyz, new_xyz,
+                                                   (128, 256), 32))
+        np.testing.assert_array_equal(got, want)
+
+
 def test_ballquery_windowed_degenerate_z_falls_back():
     from tumseg.ops.pallas.ballquery import query_ball_point_windowed
 

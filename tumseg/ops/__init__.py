@@ -61,11 +61,16 @@ def query_ball_point(radius, nsample, xyz, new_xyz):
     if _use_pallas() and xyz.shape[1] * new_xyz.shape[1] >= _BALLQUERY_PALLAS_MIN:
         try:
             N, S = xyz.shape[1], new_xyz.shape[1]
-            if _WINDOW and N >= _WINDOW_MIN_N and N % 128 == 0 and S >= 256:
+            if N >= _WINDOW_MIN_N and N % 128 == 0 and S >= 256:
+                # tiered z-window: smallest covering window wins on device,
+                # full-kernel fallback — never slower than the full kernel by
+                # more than the sort glue, so no opt-in gate. Measured at sa1
+                # (B32 N4096 S1024 r0.1): uniform-cube worst case fits N//2
+                # at 3.1 vs 4.0 ms full; facade blocks fit N//4.
                 from tumseg.ops.pallas.ballquery import (
                     query_ball_point_windowed)
                 return query_ball_point_windowed(
-                    radius, nsample, xyz, new_xyz, _bq_window(N))
+                    radius, nsample, xyz, new_xyz, (_bq_window(N), N // 2))
             return _pallas().query_ball_point(radius, nsample, xyz, new_xyz)
         except NotImplementedError:
             pass
@@ -84,14 +89,15 @@ _THREE_NN_PALLAS_MIN = 0          # N * S
 _FPS_PALLAS_MIN = 0               # N * npoint
 _BALLQUERY_PALLAS_MIN = 0         # N * S
 
-# z-window pruning (ballquery/threenn *_windowed): opt-in via
-# TUMSEG_OPS_WINDOW=1 or set_window(True). The windowed paths carry an
-# on-device exactness guard with full-kernel fallback, so enabling them is
-# never a semantics change — but the sort/searchsorted glue only amortizes
-# on real-scan geometry (facade blocks: metres of z-spread vs r=0.1 balls).
-# On uniform-cube micro-bench data the in-radius z-slab is ~20% of N and the
-# windows degenerate, so the default stays off (measured: window C1536 loses
-# to the full kernel there, benchmarks/window_probe*.py).
+# z-window pruning (ballquery/threenn *_windowed) carries an on-device
+# exactness guard with full-kernel fallback, so it is never a semantics
+# change. Ball query dispatches the TIERED windowed kernel unconditionally
+# at N>=4096 (see query_ball_point above): even the uniform-cube worst case
+# fits the N//2 tier and beats the full kernel (3.1 vs 4.0 ms at sa1,
+# benchmarks/window_probe.py). The 3-NN window has no radius bound, needs a
+# wider window, and LOSES on non-scan data (3.1 vs 2.0 ms at fp1), so it
+# stays opt-in via TUMSEG_OPS_WINDOW=1 / set_window(True) / the
+# window_enabled context — the serving path enables it (real-scan blocks).
 _WINDOW_MIN_N = 4096
 _WINDOW = os.environ.get("TUMSEG_OPS_WINDOW", "0") == "1"
 
