@@ -269,6 +269,29 @@ def test_device_reblock_runner_end_to_end():
     assert pred2.shape == pred.shape
 
 
+def test_device_reblock_on_mesh_matches_single_device():
+    """The shard_map'd vote scan (block axis sharded, psum'd pool
+    increments) must produce the same labels as the single-device scan:
+    same PRNG fold-in -> same blocks, and the vote scatter is additive so
+    the device partitioning cannot change the pool."""
+    from tumseg import models
+    from tumseg.infer.voting import InferenceRunner
+    from tumseg.parallel import make_mesh
+
+    ds = _tiny_scene()
+    model = models.get_module("pointnet_sem_seg")
+    variables = model.init(jax.random.PRNGKey(0), 8, 0)
+    single = InferenceRunner(model, variables, num_classes=8, batch_size=8,
+                             device_features=True, device_reblock=True)
+    sharded = InferenceRunner(model, variables, num_classes=8, batch_size=8,
+                              mesh=make_mesh(8), device_features=True,
+                              device_reblock=True)
+    assert sharded.device_reblock and sharded.mesh is not None
+    a = single.infer_scene(ds, 0, num_votes=2)
+    b = sharded.infer_scene(ds, 0, num_votes=2)
+    np.testing.assert_array_equal(a, b)
+
+
 def test_grid_structure_cache_identity_and_invalidation():
     ds = _tiny_scene()
     c1 = ds.grid_structure(0)

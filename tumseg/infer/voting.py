@@ -128,10 +128,8 @@ class InferenceRunner:
             device_features = jax.default_backend() in ("tpu", "axon")
         self.device_features = bool(device_features)
         if device_reblock == "auto":
-            # the whole-vote scan path needs single-device arrays; the mesh
-            # path keeps host re-blocking (its uploads shard over devices)
-            device_reblock = self.device_features and mesh is None
-        self.device_reblock = bool(device_reblock) and mesh is None
+            device_reblock = self.device_features
+        self.device_reblock = bool(device_reblock)
         # z-window extraction kernels pay off on real-scan blocks (metres of
         # z for r=0.1 balls); guarded-exact, so "auto" follows device_reblock
         self.window_ops = self.device_reblock
@@ -289,7 +287,13 @@ class InferenceRunner:
         idx == N_scene and vote into a dump row (pool has N_scene+1 rows);
         the gt-weight gate is a per-scene-point CONSTANT (labelweights of
         the ground-truth label), so it is applied once to the finished pool
-        instead of per-chunk gathers (measured 67 ms/vote at 1M points)."""
+        instead of per-chunk gathers (measured 67 ms/vote at 1M points).
+
+        With a mesh, the same scan runs under shard_map: the block axis
+        shards over the data axis, each device scans its bs/D-block chunks
+        into a full-size local pool replica, and one psum merges the pools
+        (vote counts are small integers in f32, so the add order across
+        devices cannot change the result)."""
         cache_key = (float(block_size), n_feat_extra, self.batch_size)
         if cache_key in self._vote_fn_cache:
             return self._vote_fn_cache[cache_key]
@@ -298,9 +302,8 @@ class InferenceRunner:
         bs = self.batch_size
         C = self.num_classes
 
-        @partial(jax.jit, donate_argnums=(7,))
-        def vote(variables, scene_xyz, scene_extra, coord_max, color_mask,
-                 idx_all, offs_all, pool_flat):
+        def scan_votes(variables, scene_xyz, scene_extra, coord_max,
+                       color_mask, idx_all, offs_all, pool_flat, bs_n):
             # pool is carried FLAT [(N+1)*C]: the 1-D scatter-add lowers
             # ~1.7x faster than the 2-D (idx, pred) form (benchmarks/
             # serve_probe2.py: 458 vs 510 ms/vote at 1M points)
@@ -315,12 +318,42 @@ class InferenceRunner:
                 pool_flat = pool_flat.at[flat].add(1.0)
                 return pool_flat, None
 
-            nchunks = idx_all.shape[0] // bs
+            nchunks = idx_all.shape[0] // bs_n
             pool_flat, _ = jax.lax.scan(
                 body, pool_flat,
-                (idx_all.reshape(nchunks, bs, -1),
-                 offs_all.reshape(nchunks, bs, 2)))
+                (idx_all.reshape(nchunks, bs_n, -1),
+                 offs_all.reshape(nchunks, bs_n, 2)))
             return pool_flat
+
+        if self.mesh is None:
+            @partial(jax.jit, donate_argnums=(7,))
+            def vote(variables, scene_xyz, scene_extra, coord_max,
+                     color_mask, idx_all, offs_all, pool_flat):
+                return scan_votes(variables, scene_xyz, scene_extra,
+                                  coord_max, color_mask, idx_all, offs_all,
+                                  pool_flat, bs)
+        else:
+            from jax.sharding import PartitionSpec as P
+
+            bs_local = bs // self.mesh.size
+
+            def vote_local(variables, scene_xyz, scene_extra, coord_max,
+                           color_mask, idx_all, offs_all, pool_flat):
+                # scan into a ZERO local pool and psum only this vote's
+                # increment — psum-ing the carried (replicated) pool would
+                # multiply it by the device count every vote
+                zero = jax.lax.pcast(jnp.zeros_like(pool_flat),
+                                     pmesh.DATA_AXIS, to="varying")
+                inc = scan_votes(variables, scene_xyz, scene_extra,
+                                 coord_max, color_mask, idx_all, offs_all,
+                                 zero, bs_local)
+                return pool_flat + jax.lax.psum(inc, pmesh.DATA_AXIS)
+
+            P_b = P(pmesh.DATA_AXIS)
+            vote = jax.jit(jax.shard_map(
+                vote_local, mesh=self.mesh,
+                in_specs=(P(), P(), P(), P(), P(), P_b, P_b, P()),
+                out_specs=P()), donate_argnums=(7,))
 
         self._vote_fn_cache[cache_key] = vote
         return vote
