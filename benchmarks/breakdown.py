@@ -165,6 +165,48 @@ def main():
 
         bench.run(f"{name}_block N{N} S{S}", fp_block, feat)
 
+    # ---- per-block fwd+bwd at the training batch size ---------------------
+    # subtract the B16-scaled forward rows to read the backward's share
+    if want("bwd"):
+        Bt = 16
+        for i, (N, S, radius, K) in enumerate(stages, start=1):
+            xyzt = jnp.asarray(r.random((Bt, N, 3)), jnp.float32)
+            featst = jnp.asarray(r.random((Bt, N, feat_dim[i - 1])),
+                                 jnp.float32)
+            cfg = dict(npoint=S, radius=radius, nsample=K)
+            p, s = params[f"sa{i}"], stats[f"sa{i}"]
+
+            def sa_grad(ft, xyz=xyzt, cfg=cfg, p=p, s=s):
+                def f(ft):
+                    _, out, _ = L.set_abstraction(
+                        p, s, cfg, xyz, ft, training=True, momentum=0.1,
+                        compute_dtype=jnp.bfloat16, fast_gather=True)
+                    return jnp.sum(out.astype(jnp.float32))
+
+                return jax.grad(f)(ft)
+
+            bench.run(f"sa{i}_fwdbwd B16", sa_grad, featst)
+
+        for name, N, S, skip_ch, feat_ch in fp_shapes:
+            xyz1 = jnp.asarray(r.random((Bt, N, 3)), jnp.float32)
+            xyz2 = jnp.asarray(r.random((Bt, S, 3)), jnp.float32)
+            skip = (jnp.asarray(r.random((Bt, N, skip_ch)), jnp.float32)
+                    if skip_ch else None)
+            featt = jnp.asarray(r.random((Bt, S, feat_ch)), jnp.float32)
+            p, s = params[name], stats[name]
+
+            def fp_grad(ft, xyz1=xyz1, xyz2=xyz2, skip=skip, p=p, s=s):
+                def f(ft):
+                    out, _ = L.feature_propagation(
+                        p, s, xyz1, xyz2, skip, ft, training=True,
+                        momentum=0.1, compute_dtype=jnp.bfloat16,
+                        fast_gather=True)
+                    return jnp.sum(out.astype(jnp.float32))
+
+                return jax.grad(f)(ft)
+
+            bench.run(f"{name}_fwdbwd B16", fp_grad, featt)
+
     # ---- full forward + train step ----------------------------------------
     if want("forward"):
         x = jnp.asarray(r.random((B, 4096, 6)), jnp.float32)

@@ -292,6 +292,32 @@ def test_device_reblock_on_mesh_matches_single_device():
     np.testing.assert_array_equal(a, b)
 
 
+def test_runner_cache_invalidates_on_scene_replacement():
+    """The runner's per-scene device caches key on (id(dataset), scene) but
+    validate by source-array identity: replacing a scene's points (or a
+    recycled dataset id after GC) must rebuild the tensors, not serve the
+    previous scene's."""
+    from tumseg import models
+    from tumseg.infer.voting import InferenceRunner
+
+    ds = _tiny_scene()
+    model = models.get_module("pointnet_sem_seg")
+    variables = model.init(jax.random.PRNGKey(0), 8, 0)
+    runner = InferenceRunner(model, variables, num_classes=8, batch_size=4,
+                             device_features=True, device_reblock=True)
+    xyz_a, *_ = runner._scene_tensors(ds, 0)
+    n_a = int(xyz_a.shape[0])
+    # replace the scene with a different-sized one in the SAME dataset
+    ds2 = _tiny_scene(n=1800, seed=1)
+    ds.scene_points_list[0] = ds2.scene_points_list[0]
+    ds.semantic_labels_list[0] = ds2.semantic_labels_list[0]
+    xyz_b, *_ = runner._scene_tensors(ds, 0)
+    assert int(xyz_b.shape[0]) == 1800 != n_a
+    _, _, _, _, _, nb, nb_pad = runner._grid_tensors(ds, 0)
+    pred = runner.infer_scene(ds, 0, num_votes=1)
+    assert pred.shape == (1800,)
+
+
 def test_grid_structure_cache_identity_and_invalidation():
     ds = _tiny_scene()
     c1 = ds.grid_structure(0)

@@ -225,11 +225,10 @@ def main(args):
         start_epoch = engine.load_state(state)
         log_string("Use pretrain model")
     except ValueError as e:
-        if "legacy pickle" not in str(e):
-            raise
-        # a round-1 pickle checkpoint sits at the resume path: restarting
-        # from scratch would silently overwrite the old run on the first
-        # best-mIoU save — surface the conversion hint instead
+        # a checkpoint EXISTS at the resume path but cannot be loaded
+        # (legacy pickle format, optimizer-leaf mismatch, unknown format):
+        # restarting from scratch would silently overwrite the old run on
+        # the first best-mIoU save — abort loudly with the reason instead
         raise SystemExit(f"Cannot resume: {e}")
     except Exception:  # missing/unreadable -> fresh start, like the
         # reference's bare try/except warm-start (sem_seg_training.py:565-573)

@@ -54,8 +54,6 @@ def _build_reblock_arrays(cells, block_points: int):
     shortfall slots, replaced on device by random in-cell picks). Region
     layout is static per scene, so after the in-cell shuffle the flat
     sequence reshapes straight into [NB, block_points] blocks."""
-    import numpy as np
-
     sizes, counts, base_parts, offsets = [], [], [], []
     for point_idxs, s_x, s_y in cells:
         n = int(point_idxs.size)
@@ -68,15 +66,10 @@ def _build_reblock_arrays(cells, block_points: int):
         counts.append(n)
         offsets.append(np.repeat([[s_x, s_y]], num_batch, axis=0))
     flat_base = np.concatenate(base_parts).astype(np.int32)
-    return (flat_base, np.asarray(region_starts_of(sizes), np.int32),
-            np.asarray(counts, np.int32), np.asarray(sizes, np.int32),
+    starts = np.concatenate([[0], np.cumsum(sizes)[:-1]]).astype(np.int32)
+    return (flat_base, starts, np.asarray(counts, np.int32),
+            np.asarray(sizes, np.int32),
             np.concatenate(offsets, axis=0).astype(np.float32))
-
-
-def region_starts_of(sizes):
-    import numpy as np
-
-    return np.concatenate([[0], np.cumsum(sizes)[:-1]]).astype(np.int32)
 
 
 @partial(jax.jit, static_argnums=(5,))
@@ -226,11 +219,29 @@ class InferenceRunner:
                 x = jax.device_put(x, self._sharding)
             yield self._forward(self.variables, x), real
 
+    def _cached(self, cache, dataset, scene_idx: int, build):
+        """Per-scene device cache with content-identity validation (the
+        source array object is stored alongside the tensors and compared
+        with `is`, like TestGridDataset.grid_structure — id() alone can be
+        reused after garbage collection) and eviction of other scenes'
+        entries (scenes are processed sequentially; keeping them all would
+        pin every scene's tensors in HBM)."""
+        key = (id(dataset), scene_idx)
+        src = dataset.scene_points_list[scene_idx]
+        hit = cache.get(key)
+        if hit is None or hit[0] is not src:
+            value = build()
+            cache.clear()
+            cache[key] = (src, value)
+            return value
+        return hit[1]
+
     def _scene_tensors(self, dataset, scene_idx: int):
         """Upload a scene's raw columns once; every vote then ships only
         block indices."""
-        key = (id(dataset), scene_idx)
-        if key not in self._scene_cache:
+        from tumseg.data.dataset import _COLOR_FEATURES
+
+        def build():
             pts = np.asarray(dataset.scene_points_list[scene_idx][:, :3],
                              dtype=np.float32)
             E = dataset.num_extra_features
@@ -239,23 +250,22 @@ class InferenceRunner:
                     [np.asarray(c, dtype=np.float32)
                      for c in dataset.extra_features_data[scene_idx]], axis=1)
                 color_mask = np.array(
-                    [n in ("red", "blue", "green")
+                    [n in _COLOR_FEATURES
                      for n in dataset.feature_name], dtype=bool)
             else:
                 extra = np.zeros((pts.shape[0], 0), dtype=np.float32)
                 color_mask = np.zeros((0,), dtype=bool)
-            self._scene_cache[key] = (
-                jnp.asarray(pts), jnp.asarray(extra),
-                jnp.asarray(pts.max(axis=0)), jnp.asarray(color_mask))
-        return self._scene_cache[key]
+            return (jnp.asarray(pts), jnp.asarray(extra),
+                    jnp.asarray(pts.max(axis=0)), jnp.asarray(color_mask))
+
+        return self._cached(self._scene_cache, dataset, scene_idx, build)
 
     def _grid_tensors(self, dataset, scene_idx: int):
         """Upload the scene's deterministic grid structure once; every vote
         then needs only a PRNG fold-in (the per-vote index upload — ~17 MB
         at 1M points through the ~30 MB/s tunnel — was the serving-path
         bottleneck after device featurization)."""
-        key = (id(dataset), scene_idx)
-        if key not in self._grid_cache:
+        def build():
             cells = dataset.grid_structure(scene_idx)
             flat_base, starts, counts, sizes, offsets = _build_reblock_arrays(
                 cells, dataset.block_points)
@@ -273,12 +283,10 @@ class InferenceRunner:
             nb_pad = int(np.ceil(nb / bs) * bs)
             offsets_pad = np.zeros((nb_pad, 2), np.float32)
             offsets_pad[:nb] = offsets
-            real_mask = np.zeros((nb_pad,), bool)
-            real_mask[:nb] = True
-            self._grid_cache[key] = (
-                jnp.asarray(flat_base), starts_pos, counts_pos, cell_rank,
-                jnp.asarray(offsets_pad), jnp.asarray(real_mask), nb, nb_pad)
-        return self._grid_cache[key]
+            return (jnp.asarray(flat_base), starts_pos, counts_pos,
+                    cell_rank, jnp.asarray(offsets_pad), nb, nb_pad)
+
+        return self._cached(self._grid_cache, dataset, scene_idx, build)
 
     def _vote_scan_fn(self, block_size: float, n_feat_extra: int):
         """One jit per (block shape): runs ALL of a vote's blocks through
@@ -365,7 +373,7 @@ class InferenceRunner:
         scene_xyz, scene_extra, coord_max, color_mask = self._scene_tensors(
             dataset, scene_idx)
         (flat_base, starts_pos, counts_pos, cell_rank, offsets_pad,
-         real_mask, nb, nb_pad) = self._grid_tensors(dataset, scene_idx)
+         nb, nb_pad) = self._grid_tensors(dataset, scene_idx)
         # dump row n_scene absorbs padded blocks' votes
         C = self.num_classes
         pool_flat = jnp.zeros(((n_scene + 1) * C,), jnp.float32)
@@ -515,7 +523,7 @@ def run_testing(dataset, runner: InferenceRunner, *, num_votes: int,
         t = M.confusion_tallies(jnp.asarray(pred_label),
                                 jnp.asarray(whole_scene_label), num_classes)
         scene_iou = M.iou_from_tallies(t)
-        totals = M.accumulate(totals, t)
+        totals = M.accumulate_host(totals, t)
         seen = np.asarray(t["seen"])
         tmp_iou = float(np.mean(scene_iou[seen != 0])) if (seen != 0).any() else 0.0
         print(scene_iou)

@@ -54,7 +54,18 @@ def zero_tallies(num_classes: int):
 
 def accumulate(acc, tallies):
     # device-side adds: an np.asarray here would force a host readback per
-    # eval batch (the report-side helpers materialize once at epoch end)
+    # eval batch (the report-side helpers materialize once at epoch end).
+    # Device tallies are int32 — fine within one eval epoch (2^31 points =
+    # 524K blocks); whole-test-set totals use accumulate_host instead.
     for k in acc:
         acc[k] = acc[k] + tallies[k]
+    return acc
+
+
+def accumulate_host(acc, tallies):
+    """int64 host-side accumulation for unbounded totals (whole-test-set
+    aggregation in run_testing, one readback per scene — already paid for
+    the per-scene report)."""
+    for k in acc:
+        acc[k] = np.asarray(acc[k]) + np.asarray(tallies[k], dtype=np.int64)
     return acc
