@@ -170,7 +170,7 @@ def main():
     if want("bwd"):
         Bt = 16
         for i, (N, S, radius, K) in enumerate(stages, start=1):
-            xyzt = jnp.asarray(r.random((Bt, N, 3)), jnp.float32)
+            xyzt = np.asarray(r.random((Bt, N, 3)), np.float32)
             featst = jnp.asarray(r.random((Bt, N, feat_dim[i - 1])),
                                  jnp.float32)
             cfg = dict(npoint=S, radius=radius, nsample=K)
@@ -188,9 +188,9 @@ def main():
             bench.run(f"sa{i}_fwdbwd B16", sa_grad, featst)
 
         for name, N, S, skip_ch, feat_ch in fp_shapes:
-            xyz1 = jnp.asarray(r.random((Bt, N, 3)), jnp.float32)
-            xyz2 = jnp.asarray(r.random((Bt, S, 3)), jnp.float32)
-            skip = (jnp.asarray(r.random((Bt, N, skip_ch)), jnp.float32)
+            xyz1 = np.asarray(r.random((Bt, N, 3)), np.float32)
+            xyz2 = np.asarray(r.random((Bt, S, 3)), np.float32)
+            skip = (np.asarray(r.random((Bt, N, skip_ch)), np.float32)
                     if skip_ch else None)
             featt = jnp.asarray(r.random((Bt, S, feat_ch)), jnp.float32)
             p, s = params[name], stats[name]
