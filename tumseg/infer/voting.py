@@ -506,15 +506,25 @@ def run_testing(dataset, runner: InferenceRunner, *, num_votes: int,
     """Loop over scenes: voting inference, per-scene + aggregate IoU report,
     .txt label dumps and optional colored .obj files — the modelTesting
     surface (localfunctions.py:349-479)."""
+    from concurrent.futures import ThreadPoolExecutor
+
     num_classes = runner.num_classes
     scene_ids = [os.path.basename(str(f))[:-4] for f in dataset.file_list]
     totals = M.zero_tallies(num_classes)
     per_scene_miou = []
 
+    # overlap the NEXT scene's host gridding (~0.7 s/scene at 1M points)
+    # with the device compute of the current scene's votes; grid_structure
+    # memoizes per scene, so the main thread's later call is a cache hit
+    prefetch = (ThreadPoolExecutor(max_workers=1)
+                if hasattr(dataset, "grid_structure") else None)
+
     log_string("---- EVALUATION WHOLE SCENE----")
     for batch_idx in range(len(dataset)):
         print("Inference [%d/%d] %s ..." % (batch_idx + 1, len(dataset),
                                             scene_ids[batch_idx]))
+        if prefetch is not None and batch_idx + 1 < len(dataset):
+            prefetch.submit(dataset.grid_structure, batch_idx + 1)
         whole_scene_label = dataset.semantic_labels_list[batch_idx].astype(int)
         whole_scene_data = dataset.scene_points_list[batch_idx]
 
@@ -549,6 +559,8 @@ def run_testing(dataset, runner: InferenceRunner, *, num_votes: int,
                                  scene_ids[batch_idx] + "_gt.obj"),
                     whole_scene_data, **kw_gt)
 
+    if prefetch is not None:
+        prefetch.shutdown(wait=False)
     iou = M.iou_from_tallies(totals)
     iou_str = "------- IoU --------\n"
     for l in range(num_classes):
