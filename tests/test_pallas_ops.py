@@ -208,6 +208,94 @@ def test_fps_pallas_batch_tiling():
     np.testing.assert_array_equal(got, want)
 
 
+# ---- fused ball-query + group (cnt-cumsum selection) ----------------------
+
+@pytest.mark.parametrize("r,K", [(0.12, 8), (0.03, 8), (0.45, 16)])
+def test_fused_ball_group_matches_split(r, K):
+    """Indices must equal query_ball_point exactly (incl. shortfall fill at
+    the tiny radius) and the grouped tensor must equal the gather+center
+    composition bit-for-bit in exact mode."""
+    from tumseg.ops.pallas.fusedgroup import fused_ball_group
+
+    rng = np.random.default_rng(11)
+    B, N, S = 2, 512, 128
+    xyz = jnp.asarray(rng.random((B, N, 3)), jnp.float32)
+    new_xyz = xyz[:, :S, :]
+    src = jnp.concatenate(
+        [xyz, jnp.asarray(rng.random((B, N, 5)), jnp.float32)], axis=-1)
+    grouped, idx = fused_ball_group(r, K, xyz, new_xyz, src)
+    want_idx = np.asarray(xla_ops.query_ball_point(r, K, xyz, new_xyz))
+    np.testing.assert_array_equal(np.asarray(idx), want_idx)
+    want = np.asarray(xla_ops.index_points(src, jnp.asarray(want_idx)))
+    center = np.zeros((B, S, 1, src.shape[-1]), np.float32)
+    center[..., :3] = np.asarray(new_xyz)[:, :, None, :]
+    np.testing.assert_array_equal(np.asarray(grouped), want - center)
+
+
+def test_fused_ball_group_small_stage_shapes():
+    """sa4-like shapes: N < 128 (single cumsum chunk) and S < 128."""
+    from tumseg.ops.pallas.fusedgroup import fused_ball_group
+
+    rng = np.random.default_rng(12)
+    B, N, S, K = 2, 64, 16, 8
+    xyz = jnp.asarray(rng.random((B, N, 3)), jnp.float32)
+    new_xyz = xyz[:, :S, :]
+    src = jnp.concatenate(
+        [xyz, jnp.asarray(rng.random((B, N, 4)), jnp.float32)], axis=-1)
+    grouped, idx = fused_ball_group(0.8, K, xyz, new_xyz, src)
+    want_idx = np.asarray(xla_ops.query_ball_point(0.8, K, xyz, new_xyz))
+    np.testing.assert_array_equal(np.asarray(idx), want_idx)
+
+
+def test_fused_ball_group_grad_matches_xla():
+    from tumseg.ops.pallas.fusedgroup import fused_ball_group
+
+    rng = np.random.default_rng(13)
+    B, N, S, K, r = 2, 256, 64, 8, 0.2
+    xyz = jnp.asarray(rng.random((B, N, 3)), jnp.float32)
+    new_xyz = xyz[:, :S, :]
+    feats = jnp.asarray(rng.random((B, N, 5)), jnp.float32)
+    cot = jnp.asarray(rng.random((B, S, K, 8)), jnp.float32)
+
+    def f_fused(feats):
+        src = jnp.concatenate([xyz, feats], axis=-1)
+        grouped, _ = fused_ball_group(r, K, xyz, new_xyz, src)
+        return jnp.sum(grouped * cot)
+
+    def f_xla(feats):
+        src = jnp.concatenate([xyz, feats], axis=-1)
+        idx = xla_ops.query_ball_point(r, K, xyz, new_xyz)
+        grouped = (xla_ops.index_points(src, idx)
+                   - jnp.pad(new_xyz, [(0, 0), (0, 0), (0, 5)])[:, :, None, :])
+        return jnp.sum(grouped * cot)
+
+    g_fused = jax.grad(f_fused)(feats)
+    g_xla = jax.grad(f_xla)(feats)
+    np.testing.assert_allclose(np.asarray(g_fused), np.asarray(g_xla),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_fused_ball_group_fast_mode():
+    from tumseg.ops.pallas.fusedgroup import fused_ball_group
+
+    rng = np.random.default_rng(14)
+    B, N, S, K, r = 2, 256, 64, 8, 0.2
+    xyz = jnp.asarray(rng.random((B, N, 3)), jnp.float32)
+    new_xyz = xyz[:, :S, :]
+    src = jnp.concatenate(
+        [xyz, jnp.asarray(rng.random((B, N, 5)), jnp.float32)], axis=-1)
+    grouped, idx = fused_ball_group(r, K, xyz, new_xyz, src, fast=True)
+    assert grouped.dtype == jnp.bfloat16
+    # indices stay exact even in fast mode (iota contraction is always split)
+    want_idx = np.asarray(xla_ops.query_ball_point(r, K, xyz, new_xyz))
+    np.testing.assert_array_equal(np.asarray(idx), want_idx)
+    want = np.asarray(xla_ops.index_points(src, jnp.asarray(want_idx)))
+    center = np.zeros((B, S, 1, src.shape[-1]), np.float32)
+    center[..., :3] = np.asarray(new_xyz)[:, :, None, :]
+    np.testing.assert_allclose(np.asarray(grouped, dtype=np.float32),
+                               want - center, rtol=1e-2, atol=1e-2)
+
+
 # ---- z-window pruned variants (exactness incl. the on-device fallback) ----
 
 @pytest.mark.parametrize("r,window,s_tile", [(0.1, 256, 32), (0.25, 256, 64),

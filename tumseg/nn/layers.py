@@ -230,9 +230,8 @@ def set_abstraction_msg(params, stats, cfg: dict, xyz: jnp.ndarray,
     src = jnp.concatenate([xyz, points], axis=-1) if points is not None else xyz
     outs, new_stats = [], []
     for i, (radius, K) in enumerate(zip(cfg["radius_list"], cfg["nsample_list"])):
-        idx = ops.query_ball_point(radius, K, xyz, new_xyz)
-        grouped = ops.group_neighborhoods(idx, src, new_xyz,
-                                          fast_gather=fast_gather)
+        grouped = ops.ball_group(radius, K, xyz, new_xyz, src,
+                                 fast_gather=fast_gather)
         if points is not None:
             # kernel emits [centered xyz, points]; MSG's reference order is
             # [points, centered xyz]

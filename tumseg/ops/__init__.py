@@ -176,17 +176,43 @@ def group_neighborhoods(idx, src, new_xyz, fast_gather=False):
     return grouped - center[:, :, None, :]
 
 
+# Fused ball-query+group (ops/pallas/fusedgroup.py): cnt = cumsum(in_ball)
+# turns first-K-by-index selection into the gather one-hot directly,
+# skipping both the K-peel and the index->one-hot rebuild of the split
+# path. Parity is exact (tests/test_pallas_ops.py::test_fused_*), but the
+# Mosaic backend currently takes pathologically long to compile its
+# chunked-cumsum + K-matmul structure at sa1 scale (minutes-to-hours;
+# several outright compiler crashes documented in the kernel), so it stays
+# OPT-IN until the compile path is tamed. TUMSEG_OPS_FUSED_GROUP=1 enables.
+_FUSED_GROUP = os.environ.get("TUMSEG_OPS_FUSED_GROUP", "0") == "1"
+
+
+def ball_group(radius, nsample, xyz, new_xyz, src, fast_gather=False):
+    """Ball query + neighborhood gather + centering in one step:
+    -> grouped [B, S, K, C]."""
+    N = xyz.shape[1]
+    if _FUSED_GROUP and _use_pallas() and (N <= 128 or N % 128 == 0):
+        try:
+            from tumseg.ops.pallas.fusedgroup import fused_ball_group
+            grouped, _ = fused_ball_group(radius, nsample, xyz, new_xyz,
+                                          src, fast=fast_gather)
+            return grouped
+        except NotImplementedError:
+            pass
+    idx = query_ball_point(radius, nsample, xyz, new_xyz)
+    return group_neighborhoods(idx, src, new_xyz, fast_gather=fast_gather)
+
+
 def sample_and_group(npoint, radius, nsample, xyz, points, fps_start=None,
                      fast_gather=False):
     import jax.numpy as jnp
 
     fps_idx = farthest_point_sample(xyz, npoint, start=fps_start)
     new_xyz = gather_rows(xyz, fps_idx)
-    idx = query_ball_point(radius, nsample, xyz, new_xyz)
     src = (jnp.concatenate([xyz, points], axis=-1)
            if points is not None else xyz)
-    return new_xyz, group_neighborhoods(idx, src, new_xyz,
-                                        fast_gather=fast_gather)
+    return new_xyz, ball_group(radius, nsample, xyz, new_xyz, src,
+                               fast_gather=fast_gather)
 
 
 def three_nn_dispatch(xyz1, xyz2):
