@@ -21,7 +21,7 @@ if os.environ.get("TUMSEG_TEST_TPU") != "1":
         pass
     try:  # persistent compile cache: repeated suite runs skip recompiles
         jax.config.update("jax_compilation_cache_dir", "/tmp/tumseg_jax_cache")
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
     except Exception:  # pragma: no cover
         pass
 

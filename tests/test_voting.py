@@ -306,16 +306,44 @@ def test_runner_cache_invalidates_on_scene_replacement():
     runner = InferenceRunner(model, variables, num_classes=8, batch_size=4,
                              device_features=True, device_reblock=True)
     xyz_a, *_ = runner._scene_tensors(ds, 0)
-    n_a = int(xyz_a.shape[0])
-    # replace the scene with a different-sized one in the SAME dataset
+    # replace the scene with a different one in the SAME dataset (same
+    # bucket-padded device shape, different content)
     ds2 = _tiny_scene(n=1800, seed=1)
     ds.scene_points_list[0] = ds2.scene_points_list[0]
     ds.semantic_labels_list[0] = ds2.semantic_labels_list[0]
     xyz_b, *_ = runner._scene_tensors(ds, 0)
-    assert int(xyz_b.shape[0]) == 1800 != n_a
-    _, _, _, _, _, nb, nb_pad = runner._grid_tensors(ds, 0)
+    assert not np.array_equal(np.asarray(xyz_b[:100]),
+                              np.asarray(xyz_a[:100]))
+    np.testing.assert_allclose(np.asarray(xyz_b[:1800]),
+                               ds2.scene_points_list[0][:, :3], rtol=1e-6)
     pred = runner.infer_scene(ds, 0, num_votes=1)
     assert pred.shape == (1800,)
+
+
+def test_scene_bucketing_shares_compiled_shapes():
+    """Scenes with different point/block counts must land on identical
+    device shapes (scene bucket + 4*bs block granule), so ONE compiled
+    vote scan serves them all — a fresh compile per facade costs minutes
+    through this image's tunnel. Predictions stay per-scene sized."""
+    from tumseg import models
+    from tumseg.infer.voting import InferenceRunner
+
+    model = models.get_module("pointnet_sem_seg")
+    variables = model.init(jax.random.PRNGKey(0), 8, 0)
+    runner = InferenceRunner(model, variables, num_classes=8, batch_size=4,
+                             device_features=True, device_reblock=True)
+    ds_a, ds_b = _tiny_scene(n=2500, seed=0), _tiny_scene(n=2600, seed=5)
+    xyz_a, extra_a, *_ = runner._scene_tensors(ds_a, 0)
+    shp_a = (xyz_a.shape, extra_a.shape)
+    ga = runner._grid_tensors(ds_a, 0)
+    xyz_b, extra_b, *_ = runner._scene_tensors(ds_b, 0)
+    gb = runner._grid_tensors(ds_b, 0)
+    assert (xyz_b.shape, extra_b.shape) == shp_a
+    assert ga[4].shape == gb[4].shape          # offsets_pad: same nb_pad
+    assert ga[6] == gb[6]                      # nb_pad bucket equal
+    pa = runner.infer_scene(ds_a, 0, num_votes=1)
+    pb = runner.infer_scene(ds_b, 0, num_votes=1)
+    assert pa.shape == (2500,) and pb.shape == (2600,)
 
 
 def test_grid_structure_cache_identity_and_invalidation():

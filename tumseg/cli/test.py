@@ -83,7 +83,9 @@ def parse_args(argv=None):
 
 def main(args):
     from tumseg.parallel import initialize_distributed
+    from tumseg.utils.cache import enable_compile_cache
 
+    enable_compile_cache()
     initialize_distributed(args.coordinator_address, args.num_processes,
                            args.process_id)
     print(args.class8)

@@ -106,7 +106,9 @@ def parse_args(argv=None):
 def main(args):
     start = time.time()
     from tumseg.parallel import initialize_distributed
+    from tumseg.utils.cache import enable_compile_cache
 
+    enable_compile_cache()
     initialize_distributed(args.coordinator_address, args.num_processes,
                            args.process_id)
     if args.class8 is False:

@@ -236,27 +236,48 @@ class InferenceRunner:
             return value
         return hit[1]
 
+    @staticmethod
+    def _scene_bucket(n: int) -> int:
+        """Round the scene point count up to a shared bucket so scenes of
+        different sizes reuse ONE compiled vote scan: the scan jit keys on
+        the scene tensors' shapes, and a fresh compile per facade costs
+        1-2 min through this image's remote-compile tunnel (~10-20 s on a
+        normal TPU host) — measured dominating a cold whole-scene test.
+        128K granularity = at most ~8 shapes per million points."""
+        bucket = 131072
+        return max(bucket, (n + bucket - 1) // bucket * bucket)
+
     def _scene_tensors(self, dataset, scene_idx: int):
-        """Upload a scene's raw columns once; every vote then ships only
-        block indices."""
+        """Upload a scene's raw columns once (bucket-padded); every vote
+        then ships only block indices. Padded rows never appear in any
+        grid cell, so only the dump row (index n_pad) can touch them."""
         from tumseg.data.dataset import _COLOR_FEATURES
 
         def build():
             pts = np.asarray(dataset.scene_points_list[scene_idx][:, :3],
                              dtype=np.float32)
+            n = pts.shape[0]
+            n_pad = self._scene_bucket(n)
+            coord_max = pts.max(axis=0)
+            if n_pad > n:
+                pts = np.concatenate(
+                    [pts, np.broadcast_to(coord_max, (n_pad - n, 3))])
             E = dataset.num_extra_features
             if E:
                 extra = np.stack(
                     [np.asarray(c, dtype=np.float32)
                      for c in dataset.extra_features_data[scene_idx]], axis=1)
+                if n_pad > n:
+                    extra = np.concatenate(
+                        [extra, np.zeros((n_pad - n, E), np.float32)])
                 color_mask = np.array(
-                    [n in _COLOR_FEATURES
-                     for n in dataset.feature_name], dtype=bool)
+                    [n_ in _COLOR_FEATURES
+                     for n_ in dataset.feature_name], dtype=bool)
             else:
-                extra = np.zeros((pts.shape[0], 0), dtype=np.float32)
+                extra = np.zeros((n_pad, 0), dtype=np.float32)
                 color_mask = np.zeros((0,), dtype=bool)
             return (jnp.asarray(pts), jnp.asarray(extra),
-                    jnp.asarray(pts.max(axis=0)), jnp.asarray(color_mask))
+                    jnp.asarray(coord_max), jnp.asarray(color_mask))
 
         return self._cached(self._scene_cache, dataset, scene_idx, build)
 
@@ -280,7 +301,13 @@ class InferenceRunner:
                                    total_repeat_length=L)
             nb = L // dataset.block_points
             bs = self.batch_size
-            nb_pad = int(np.ceil(nb / bs) * bs)
+            # bucket the padded block count to 4*bs chunks: the vote scan's
+            # length is static, so distinct block counts would otherwise
+            # recompile per scene (same motivation as _scene_bucket);
+            # padded blocks run a dummy forward into the dump row, worst
+            # case (4*bs - 1) extra blocks ~ a few % of a real facade
+            granule = 4 * bs
+            nb_pad = int(np.ceil(max(nb, 1) / granule) * granule)
             offsets_pad = np.zeros((nb_pad, 2), np.float32)
             offsets_pad[:nb] = offsets
             return (jnp.asarray(flat_base), starts_pos, counts_pos,
@@ -292,7 +319,8 @@ class InferenceRunner:
         """One jit per (block shape): runs ALL of a vote's blocks through
         featurize+forward+vote-scatter as a lax.scan — a single device
         dispatch per vote. No per-chunk masking: padded blocks carry
-        idx == N_scene and vote into a dump row (pool has N_scene+1 rows);
+        idx == n_pad (the bucket-padded scene size) and vote into a dump
+        row (pool has n_pad+1 rows);
         the gt-weight gate is a per-scene-point CONSTANT (labelweights of
         the ground-truth label), so it is applied once to the finished pool
         instead of per-chunk gathers (measured 67 ms/vote at 1M points).
@@ -317,13 +345,21 @@ class InferenceRunner:
             # serve_probe2.py: 458 vs 510 ms/vote at 1M points)
             def body(pool_flat, chunk):
                 idx, offs = chunk
-                pred = forward_featurized(variables, scene_xyz, scene_extra,
-                                          coord_max, color_mask,
-                                          jnp.minimum(idx, scene_xyz.shape[0]
-                                                      - 1),
-                                          offs, block_size)
-                flat = idx.reshape(-1) * C + pred.reshape(-1)
-                pool_flat = pool_flat.at[flat].add(1.0)
+
+                def run(p):
+                    pred = forward_featurized(
+                        variables, scene_xyz, scene_extra, coord_max,
+                        color_mask,
+                        jnp.minimum(idx, scene_xyz.shape[0] - 1),
+                        offs, block_size)
+                    flat = idx.reshape(-1) * C + pred.reshape(-1)
+                    return p.at[flat].add(1.0)
+
+                # chunks that exist only for the compile-sharing block
+                # granule (all idx == n_pad) skip the forward entirely
+                all_dummy = jnp.min(idx) >= scene_xyz.shape[0]
+                pool_flat = jax.lax.cond(all_dummy, lambda p: p, run,
+                                         pool_flat)
                 return pool_flat, None
 
             nchunks = idx_all.shape[0] // bs_n
@@ -372,11 +408,12 @@ class InferenceRunner:
         n_scene = labels_np.shape[0]
         scene_xyz, scene_extra, coord_max, color_mask = self._scene_tensors(
             dataset, scene_idx)
+        n_pad = int(scene_xyz.shape[0])       # bucket-padded scene rows
         (flat_base, starts_pos, counts_pos, cell_rank, offsets_pad,
          nb, nb_pad) = self._grid_tensors(dataset, scene_idx)
-        # dump row n_scene absorbs padded blocks' votes
+        # dump row n_pad absorbs padded blocks' votes
         C = self.num_classes
-        pool_flat = jnp.zeros(((n_scene + 1) * C,), jnp.float32)
+        pool_flat = jnp.zeros(((n_pad + 1) * C,), jnp.float32)
         vote_fn = self._vote_scan_fn(float(dataset.block_size),
                                      int(scene_extra.shape[1]))
         bp = int(dataset.block_points)
@@ -386,7 +423,7 @@ class InferenceRunner:
                                             counts_pos, cell_rank, bp)
             if nb_pad > nb:
                 idx_blocks = jnp.pad(idx_blocks, ((0, nb_pad - nb), (0, 0)),
-                                     constant_values=n_scene)
+                                     constant_values=n_pad)
             # real-scan geometry: blocks are 1m x 1m xy columns with metres
             # of z-spread, exactly where the z-window pruned extraction
             # kernels win (~10% of the vote scan, benchmarks/serve_probe.py)
@@ -394,7 +431,7 @@ class InferenceRunner:
                 pool_flat = vote_fn(self.variables, scene_xyz, scene_extra,
                                     coord_max, color_mask, idx_blocks,
                                     offsets_pad, pool_flat)
-        pool = pool_flat.reshape(n_scene + 1, C)[:n_scene]
+        pool = pool_flat.reshape(n_pad + 1, C)[:n_scene]
         if gt_weight_gate:
             # reference semantics (localfunctions.py:344): votes only count
             # where labelweights[gt] is finite nonzero. That is a constant

@@ -35,8 +35,64 @@ class OptLeaves(list):
     """Ordered optimizer-state leaves awaiting tree_unflatten by the engine."""
 
 
+@jax.jit
+def _pack_jit(leaves):
+    import jax.numpy as jnp
+
+    parts = []
+    for v in leaves:
+        v = jnp.ravel(v)
+        if jnp.issubdtype(v.dtype, jnp.floating):
+            parts.append(v.astype(jnp.float32))
+        else:
+            parts.append(jax.lax.bitcast_convert_type(
+                v.astype(jnp.int32), jnp.float32))
+    return jnp.concatenate(parts) if len(parts) > 1 else parts[0]
+
+
 def _to_host(tree):
-    return jax.tree_util.tree_map(lambda x: np.asarray(x), tree)
+    """Device pytree -> host numpy pytree in ONE device->host transfer.
+
+    Per-leaf np.asarray pays the readback round-trip latency per leaf
+    (~0.35 s through this image's TPU tunnel x ~300 leaves made every
+    checkpoint save cost minutes — profiled 2026-08-17). Instead: float
+    leaves are upcast to f32 (exact for f32/bf16), integer/bool leaves are
+    bitcast to f32 bit patterns, everything is raveled and concatenated on
+    device, read back once, and split back to original shapes/dtypes."""
+    import jax.numpy as jnp
+
+    leaves, treedef = jax.tree_util.tree_flatten(tree)
+    host: List[Any] = [None] * len(leaves)
+    dev_ix = []
+    for i, leaf in enumerate(leaves):
+        if (isinstance(leaf, jax.Array)
+                and (jnp.issubdtype(leaf.dtype, jnp.floating)
+                     or jnp.issubdtype(leaf.dtype, jnp.integer)
+                     or leaf.dtype == jnp.bool_)
+                and leaf.dtype.itemsize <= 4):
+            dev_ix.append(i)
+        else:  # already host, or an exotic dtype: transfer individually
+            host[i] = np.asarray(leaf)
+    if dev_ix:
+        # ONE jitted pack program (persistently cacheable) — eagerly
+        # dispatching a ravel/cast/concat per leaf compiled ~75 distinct
+        # tiny programs at ~0.4-2 s each through this image's remote
+        # compile helper
+        packed = np.asarray(_pack_jit(tuple(leaves[i] for i in dev_ix)))
+        off = 0
+        for i in dev_ix:
+            leaf = leaves[i]
+            n = int(np.prod(leaf.shape, dtype=np.int64))
+            seg = packed[off:off + n]
+            off += n
+            if jnp.issubdtype(leaf.dtype, jnp.floating):
+                host[i] = seg.astype(leaf.dtype).reshape(leaf.shape)
+            elif leaf.dtype == jnp.bool_:
+                host[i] = seg.view(np.int32).astype(bool).reshape(leaf.shape)
+            else:
+                host[i] = seg.view(np.int32).astype(
+                    leaf.dtype).reshape(leaf.shape)
+    return jax.tree_util.tree_unflatten(treedef, host)
 
 
 def _path_elems(path) -> List:
@@ -95,8 +151,7 @@ def save_checkpoint(path: str, *, epoch: int, variables: Dict,
                     class_avg_iou: Optional[float] = None) -> None:
     model_flat = _flatten_model(_to_host(variables))
     opt_leaves = ([] if opt_state is None
-                  else [np.asarray(x)
-                        for x in jax.tree_util.tree_leaves(opt_state)])
+                  else jax.tree_util.tree_leaves(_to_host(opt_state)))
     manifest = {
         "format": FORMAT,
         "epoch": int(epoch),

@@ -159,7 +159,11 @@ class TrainEngine:
     # -- state management ---------------------------------------------------
 
     def init_state(self, key, num_extra_features: int):
-        variables = self.model.init(key, self.num_classes, num_extra_features)
+        # one jitted (persistently cacheable) init program: eager model.init
+        # dispatches a tiny compile per random op, each ~0.4-2 s through
+        # this image's remote compile helper
+        variables = jax.jit(self.model.init, static_argnums=(1, 2))(
+            key, self.num_classes, num_extra_features)
         opt_state = self.tx.init(variables["params"])
         self.params = variables["params"]
         self.batch_stats = variables["batch_stats"]
