@@ -26,13 +26,9 @@ import numpy as np
 
 # persistent compile cache: the tunneled remote-compile path is slow, and
 # repeated bench invocations hit identical HLO
-try:
-    jax.config.update("jax_compilation_cache_dir",
-                      os.environ.get("JAX_COMPILATION_CACHE_DIR",
-                                     "/tmp/tumseg_jax_cache"))
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
-except Exception:
-    pass
+from tumseg.utils.cache import enable_compile_cache  # noqa: E402
+
+enable_compile_cache()
 
 TORCH_CPU_REFERENCE_POINTS_PER_SEC = 7649.0  # measured anchor, BASELINE.md
 

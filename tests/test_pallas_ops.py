@@ -247,6 +247,32 @@ def test_fused_ball_group_small_stage_shapes():
     np.testing.assert_array_equal(np.asarray(idx), want_idx)
 
 
+def test_fused_ball_group_empty_ball_sentinel():
+    """Queries with NO candidate in radius must emit the N sentinel index,
+    like query_ball_point (grouped stays -center in both paths)."""
+    from tumseg.ops.pallas.fusedgroup import fused_ball_group
+
+    xyz = jnp.asarray(np.linspace(0, 1, 64 * 3).reshape(1, 64, 3),
+                      jnp.float32)
+    far = jnp.full((1, 8, 3), 100.0, jnp.float32)
+    new_xyz = jnp.concatenate([xyz[:, :8, :], far], axis=1)  # half empty
+    grouped, idx = fused_ball_group(0.01, 4, xyz, new_xyz, xyz)
+    want = np.asarray(xla_ops.query_ball_point(0.01, 4, xyz, new_xyz))
+    np.testing.assert_array_equal(np.asarray(idx), want)
+    assert (np.asarray(idx)[0, 8:] == 64).all()
+
+
+def test_fused_ball_group_unsupported_n_falls_back():
+    """N > 1024 with N % 1024 != 0 must raise NotImplementedError (the
+    dispatcher's fallback trigger), never a shape error mid-trace."""
+    from tumseg.ops.pallas.fusedgroup import fused_ball_group
+
+    rng = np.random.default_rng(15)
+    xyz = jnp.asarray(rng.random((1, 1152, 3)), jnp.float32)
+    with pytest.raises(NotImplementedError, match="1024"):
+        fused_ball_group(0.2, 8, xyz, xyz[:, :128, :], xyz)
+
+
 def test_fused_ball_group_grad_matches_xla():
     from tumseg.ops.pallas.fusedgroup import fused_ball_group
 

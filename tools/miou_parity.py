@@ -26,8 +26,9 @@ sys.path.insert(0, __file__.rsplit("/", 2)[0])
 import jax
 
 jax.config.update("jax_platforms", "cpu")
-jax.config.update("jax_compilation_cache_dir", "/tmp/tumseg_jax_cache")
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+from tumseg.utils.cache import enable_compile_cache
+
+enable_compile_cache()
 
 import numpy as np  # noqa: E402
 

@@ -297,9 +297,12 @@ class TestGridDataset:
         the binning/argsort/inside tests. The cache keys on the scene array's
         identity, so index_update/copy (which rebuild the lists) invalidate
         naturally."""
-        cache = getattr(self, "_grid_cache", None)
-        if cache is None:
-            cache = self._grid_cache = {}
+        # setdefault: atomic under the GIL — run_testing's prefetch thread
+        # may call this concurrently with the main thread for different
+        # scenes, and a check-then-assign lazy init could orphan whichever
+        # dict lost the race (recomputing the ~0.7 s/1M-pt gridding the
+        # prefetch exists to hide)
+        cache = self.__dict__.setdefault("_grid_cache", {})
         hit = cache.get(index)
         if hit is not None and hit[0] is self.scene_points_list[index]:
             return hit[1]

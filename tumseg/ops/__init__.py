@@ -191,7 +191,8 @@ def ball_group(radius, nsample, xyz, new_xyz, src, fast_gather=False):
     """Ball query + neighborhood gather + centering in one step:
     -> grouped [B, S, K, C]."""
     N = xyz.shape[1]
-    if _FUSED_GROUP and _use_pallas() and (N <= 128 or N % 128 == 0):
+    # the fused kernel's cumsum chunk is 1024 candidates; other N fall back
+    if _FUSED_GROUP and _use_pallas() and (N <= 1024 or N % 1024 == 0):
         try:
             from tumseg.ops.pallas.fusedgroup import fused_ball_group
             grouped, _ = fused_ball_group(radius, nsample, xyz, new_xyz,

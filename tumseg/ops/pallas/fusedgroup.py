@@ -106,14 +106,22 @@ def _fused_kernel(radius: float, nsample: int, exact: bool,
         outT_ref[0, k * C:(k + 1) * C, :] = (
             gathered - center).astype(outT_ref.dtype)
         # index recovery: the unique selected candidate's iota (exact via
-        # the same 3-way split — indices need 12 bits, bf16 carries 8)
-        idxT_ref[0, k:k + 1, :] = _split3_dot(s_iota, ek, True)
+        # the same 3-way split — indices need 12 bits, bf16 carries 8).
+        # Empty balls (total == 0, ek all-zero) emit the N sentinel, same
+        # as query_ball_point's shortfall-with-nothing-found.
+        empty = (total <= 0.0).astype(jnp.float32) * float(N)
+        idxT_ref[0, k:k + 1, :] = _split3_dot(s_iota, ek, True) + empty
 
 
 def _fused_impl(radius: float, nsample: int, xyz, new_xyz, src, exact: bool):
     B, N, _ = xyz.shape
     S = new_xyz.shape[1]
     C = src.shape[2]
+    if N > _CHUNK and N % _CHUNK != 0:
+        # the cumsum chunk loop covers exactly N // chunk * chunk candidates
+        raise NotImplementedError(
+            f"fused_ball_group needs N <= {_CHUNK} or N % {_CHUNK} == 0, "
+            f"got N={N}")
     s_tile = min(_S_TILE, S)
     if S % s_tile != 0:
         s_tile = S

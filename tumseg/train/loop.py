@@ -61,6 +61,17 @@ def make_optimizer(name: str = "Adam", weight_decay: float = 1e-4):
     return optax.chain(optax.trace(decay=0.9), optax.scale(-1.0))
 
 
+_INIT_JIT_CACHE: Dict = {}
+
+
+def _jitted_init(model):
+    key = id(model)
+    if key not in _INIT_JIT_CACHE:
+        _INIT_JIT_CACHE[key] = (model, jax.jit(model.init,
+                                               static_argnums=(1, 2)))
+    return _INIT_JIT_CACHE[key][1]
+
+
 class TrainEngine:
     """Holds the jitted train/eval steps and the mutable training state."""
 
@@ -161,9 +172,10 @@ class TrainEngine:
     def init_state(self, key, num_extra_features: int):
         # one jitted (persistently cacheable) init program: eager model.init
         # dispatches a tiny compile per random op, each ~0.4-2 s through
-        # this image's remote compile helper
-        variables = jax.jit(self.model.init, static_argnums=(1, 2))(
-            key, self.num_classes, num_extra_features)
+        # this image's remote compile helper; the wrapper is cached per
+        # model so repeated init_state calls reuse the traced executable
+        variables = _jitted_init(self.model)(key, self.num_classes,
+                                             num_extra_features)
         opt_state = self.tx.init(variables["params"])
         self.params = variables["params"]
         self.batch_stats = variables["batch_stats"]
