@@ -51,10 +51,9 @@ def main():
         runner.infer_scene(ds, 0, num_votes=1)
 
         (flat_base, starts_pos, counts_pos, cell_rank, offsets_pad,
-         real_mask, nb, nb_pad) = runner._grid_tensors(ds, 0)
-        labels = jnp.asarray(ds.semantic_labels_list[0].astype(np.int32))
-        lw = jnp.asarray(ds.labelweights)
+         nb, nb_pad) = runner._grid_tensors(ds, 0)
         sx, se, cm, cmask = runner._scene_tensors(ds, 0)
+        n_pad = int(sx.shape[0])
         vote_fn = runner._vote_scan_fn(1.0, int(se.shape[1]))
 
         # reblock alone (10 dispatches, one fence)
@@ -70,16 +69,17 @@ def main():
         reblock_ms = (time.perf_counter() - t0) / 10 * 1e3
 
         # vote scan alone
-        idxp = jnp.pad(idx, ((0, nb_pad - nb), (0, 0)))
-        pool = jnp.zeros((n, 8), jnp.float32)
-        pool = vote_fn(variables, sx, se, cm, cmask, labels, lw,
-                       (idxp, offsets_pad, real_mask), pool, gate=True)
+        idxp = jnp.pad(idx, ((0, nb_pad - nb), (0, 0)),
+                       constant_values=n_pad)
+        pool = jnp.zeros(((n_pad + 1) * 8,), jnp.float32)
+        pool = vote_fn(variables, sx, se, cm, cmask, idxp, offsets_pad,
+                       pool)
         fence(pool)
-        pool = jnp.zeros((n, 8), jnp.float32)
+        pool = jnp.zeros(((n_pad + 1) * 8,), jnp.float32)
         t0 = time.perf_counter()
         for _ in range(5):
-            pool = vote_fn(variables, sx, se, cm, cmask, labels, lw,
-                           (idxp, offsets_pad, real_mask), pool, gate=True)
+            pool = vote_fn(variables, sx, se, cm, cmask, idxp, offsets_pad,
+                           pool)
         fence(pool)
         vote_ms = (time.perf_counter() - t0) / 5 * 1e3
         print(json.dumps({"window": window,
