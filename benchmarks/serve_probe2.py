@@ -48,7 +48,7 @@ def main():
     runner.infer_scene(ds, 0, num_votes=1)  # warm
 
     (flat_base, starts_pos, counts_pos, cell_rank, offsets_pad,
-     real_mask, nb, nb_pad) = runner._grid_tensors(ds, 0)
+     nb, nb_pad) = runner._grid_tensors(ds, 0)
     labels = jnp.asarray(ds.semantic_labels_list[0].astype(np.int32))
     lw = jnp.asarray(ds.labelweights)
     sx, se, cm, cmask = runner._scene_tensors(ds, 0)
@@ -57,8 +57,8 @@ def main():
 
     idx = _reblock_on_device(jax.random.PRNGKey(7), flat_base, starts_pos,
                              counts_pos, cell_rank, 4096)
-    idxp = jnp.pad(idx, ((0, nb_pad - nb), (0, 0)))
-    chunks = (idxp, offsets_pad, jnp.asarray(np.ones(nb_pad, bool)))
+    n_pad = int(sx.shape[0])
+    idxp = jnp.pad(idx, ((0, nb_pad - nb), (0, 0)), constant_values=n_pad)
 
     def scan_over(body):
         @jax.jit
@@ -71,10 +71,10 @@ def main():
         return run
 
     def time_it(name, run):
-        pool = jnp.zeros((n, 8), jnp.float32)
+        pool = jnp.zeros((n_pad + 1, 8), jnp.float32)
         out = run(pool)
         fence(out)
-        pool = jnp.zeros((n, 8), jnp.float32)
+        pool = jnp.zeros((n_pad + 1, 8), jnp.float32)
         t0 = time.perf_counter()
         for _ in range(5):
             pool = run(pool)
@@ -86,7 +86,8 @@ def main():
     # (a) forward only: fold preds into pool[0] additively (no scatter)
     def body_fwd(pool, chunk):
         i, o = chunk
-        pred = fwd_feat(variables, sx, se, cm, cmask, i, o, 1.0)
+        pred = fwd_feat(variables, sx, se, cm, cmask,
+                        jnp.minimum(i, sx.shape[0] - 1), o, 1.0)
         return pool.at[0, 0].add(jnp.sum(pred).astype(pool.dtype)), None
 
     time_it("scan forward only", scan_over(body_fwd))
@@ -94,7 +95,8 @@ def main():
     # (b) + scatter, no gate
     def body_scatter(pool, chunk):
         i, o = chunk
-        pred = fwd_feat(variables, sx, se, cm, cmask, i, o, 1.0)
+        pred = fwd_feat(variables, sx, se, cm, cmask,
+                        jnp.minimum(i, sx.shape[0] - 1), o, 1.0)
         pool = pool.at[i.reshape(-1), pred.reshape(-1)].add(1.0)
         return pool, None
 
@@ -103,7 +105,8 @@ def main():
     # (c) + gt gate labels gather
     def body_full(pool, chunk):
         i, o = chunk
-        pred = fwd_feat(variables, sx, se, cm, cmask, i, o, 1.0)
+        pred = fwd_feat(variables, sx, se, cm, cmask,
+                        jnp.minimum(i, sx.shape[0] - 1), o, 1.0)
         smpw = lw[labels[i]]
         keep = ((smpw != 0) & ~jnp.isinf(smpw)).reshape(-1)
         pool = pool.at[i.reshape(-1), pred.reshape(-1)].add(
@@ -125,7 +128,8 @@ def main():
 
     def body_flat(poolf, chunk):
         i, o = chunk
-        pred = fwd_feat(variables, sx, se, cm, cmask, i, o, 1.0)
+        pred = fwd_feat(variables, sx, se, cm, cmask,
+                        jnp.minimum(i, sx.shape[0] - 1), o, 1.0)
         flat = i.reshape(-1) * 8 + pred.reshape(-1)
         poolf = poolf.at[flat].add(1.0)
         return poolf, None
