@@ -320,6 +320,30 @@ def test_runner_cache_invalidates_on_scene_replacement():
     assert pred.shape == (1800,)
 
 
+def test_device_reblock_gt_gate_with_zero_and_inf_weights():
+    """The gate moved from per-chunk vote masking to one post-hoc mask of
+    the finished pool; with weights that actually gate (0 and inf entries)
+    the result must equal masking the ungated prediction: gated points'
+    pools zero out, so their argmax is 0 (reference localfunctions.py:344
+    semantics — such rows never receive countable votes)."""
+    from tumseg import models
+    from tumseg.infer.voting import InferenceRunner
+
+    ds = _tiny_scene()
+    ds.labelweights = np.array([1, 0, 1, np.inf, 1, 1, 1, 1], np.float32)
+    model = models.get_module("pointnet_sem_seg")
+    variables = model.init(jax.random.PRNGKey(0), 8, 0)
+    runner = InferenceRunner(model, variables, num_classes=8, batch_size=4,
+                             device_features=True, device_reblock=True)
+    gated = runner.infer_scene(ds, 0, num_votes=2, gt_weight_gate=True)
+    ungated = runner.infer_scene(ds, 0, num_votes=2, gt_weight_gate=False)
+    labels = ds.semantic_labels_list[0]
+    smpw = ds.labelweights[labels]
+    keep = (smpw != 0) & ~np.isinf(smpw)
+    np.testing.assert_array_equal(gated, np.where(keep, ungated, 0))
+    assert (~keep).any() and keep.any()  # the gate actually fired
+
+
 def test_scene_bucketing_shares_compiled_shapes():
     """Scenes with different point/block counts must land on identical
     device shapes (scene bucket + 4*bs block granule), so ONE compiled
