@@ -52,21 +52,27 @@ def main():
                 lambda p, C=C, st=st: bq.query_ball_point_windowed(
                     radius, K, p, p[:, :S], C, st), xyz)
 
-    # glue-only: sorts + searchsorted + take_along (no pallas_call)
+    # glue-only: sorts + boundary-only compare_all searchsorted — the
+    # kernel's ACTUAL glue (2T probes; the original full-S binary-search
+    # version measured 9.1 ms of pure gather latency and motivated both
+    # fixes)
     def glue(p):
+        import functools
+
         qq = p[:, :S, :]
         zs, order, xs, ys = bq._sort_with_payload(
             p[:, :, 2], p[:, :, 0], p[:, :, 1])
         qzs, qorder, qxs, qys = bq._sort_with_payload(
             qq[:, :, 2], qq[:, :, 0], qq[:, :, 1])
-        import functools
-        lo = jax.vmap(functools.partial(jnp.searchsorted, side="left"))(
-            zs, qzs - radius)
-        hi = jax.vmap(functools.partial(jnp.searchsorted, side="right"))(
-            zs, qzs + radius)
+        ss = functools.partial(jnp.searchsorted, method="compare_all")
+        s_tile = 128
+        lo = jax.vmap(functools.partial(ss, side="left"))(
+            zs, qzs[:, ::s_tile] - radius)
+        hi = jax.vmap(functools.partial(ss, side="right"))(
+            zs, qzs[:, s_tile - 1::s_tile] + radius)
         return (jnp.stack([xs, ys, zs], 1).sum() + qxs.sum() + qys.sum()
-                + (lo + hi + qorder).sum().astype(jnp.float32)
-                + order.sum().astype(jnp.float32))
+                + (lo + hi).sum().astype(jnp.float32)
+                + (order.sum() + qorder.sum()).astype(jnp.float32))
 
     bench.run("bq_window_glue_only", glue, xyz)
 
