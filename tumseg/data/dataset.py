@@ -361,6 +361,14 @@ class TestGridDataset:
                 cells.append((point_idxs, s_x, s_y))
 
         cache[index] = (self.scene_points_list[index], cells)
+        # bounded cache: scenes are processed sequentially and run_testing
+        # prefetches scene N+1 while N is voting, so keep only the inserted
+        # scene's immediate neighbours — per-cell index lists duplicate
+        # overlapping stride cells (several bytes/point/overlap) and an
+        # unbounded dict would grow with dataset size. Neighbour keys are
+        # never evicted by each other, so the prefetch win is preserved.
+        for stale in [k for k in cache if abs(k - index) > 1]:
+            del cache[stale]
         return cells
 
     def grid_indices(self, index):

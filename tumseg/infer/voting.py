@@ -417,8 +417,13 @@ class InferenceRunner:
         vote_fn = self._vote_scan_fn(float(dataset.block_size),
                                      int(scene_extra.shape[1]))
         bp = int(dataset.block_points)
+        # fold the scene identity in too: base_key folded by vote alone would
+        # reuse one key sequence for every scene, correlating re-blocking
+        # randomness across scenes (the host path consumes one continuing
+        # Generator stream and has no such correlation)
+        scene_key = jax.random.fold_in(self._base_key, scene_idx)
         for vote in range(num_votes):
-            k = jax.random.fold_in(self._base_key, vote)
+            k = jax.random.fold_in(scene_key, vote)
             idx_blocks = _reblock_on_device(k, flat_base, starts_pos,
                                             counts_pos, cell_rank, bp)
             if nb_pad > nb:
@@ -557,47 +562,51 @@ def run_testing(dataset, runner: InferenceRunner, *, num_votes: int,
                 if hasattr(dataset, "grid_structure") else None)
 
     log_string("---- EVALUATION WHOLE SCENE----")
-    for batch_idx in range(len(dataset)):
-        print("Inference [%d/%d] %s ..." % (batch_idx + 1, len(dataset),
-                                            scene_ids[batch_idx]))
-        if prefetch is not None and batch_idx + 1 < len(dataset):
-            prefetch.submit(dataset.grid_structure, batch_idx + 1)
-        whole_scene_label = dataset.semantic_labels_list[batch_idx].astype(int)
-        whole_scene_data = dataset.scene_points_list[batch_idx]
+    # try/finally: the prefetch pool must be shut down even when a scene
+    # raises — otherwise its worker thread (and the gridding it holds)
+    # outlives the run
+    try:
+        for batch_idx in range(len(dataset)):
+            print("Inference [%d/%d] %s ..." % (batch_idx + 1, len(dataset),
+                                                scene_ids[batch_idx]))
+            if prefetch is not None and batch_idx + 1 < len(dataset):
+                prefetch.submit(dataset.grid_structure, batch_idx + 1)
+            whole_scene_label = dataset.semantic_labels_list[batch_idx].astype(int)
+            whole_scene_data = dataset.scene_points_list[batch_idx]
 
-        pred_label = runner.infer_scene(dataset, batch_idx, num_votes)
+            pred_label = runner.infer_scene(dataset, batch_idx, num_votes)
 
-        t = M.confusion_tallies(jnp.asarray(pred_label),
-                                jnp.asarray(whole_scene_label), num_classes)
-        scene_iou = M.iou_from_tallies(t)
-        totals = M.accumulate_host(totals, t)
-        seen = np.asarray(t["seen"])
-        tmp_iou = float(np.mean(scene_iou[seen != 0])) if (seen != 0).any() else 0.0
-        print(scene_iou)
-        per_scene_miou.append(tmp_iou)
-        log_string("Mean IoU of %s: %.4f" % (scene_ids[batch_idx], tmp_iou))
-        print("----------------------------")
+            t = M.confusion_tallies(jnp.asarray(pred_label),
+                                    jnp.asarray(whole_scene_label), num_classes)
+            scene_iou = M.iou_from_tallies(t)
+            totals = M.accumulate_host(totals, t)
+            seen = np.asarray(t["seen"])
+            tmp_iou = float(np.mean(scene_iou[seen != 0])) if (seen != 0).any() else 0.0
+            print(scene_iou)
+            per_scene_miou.append(tmp_iou)
+            log_string("Mean IoU of %s: %.4f" % (scene_ids[batch_idx], tmp_iou))
+            print("----------------------------")
 
-        if visual_dir is not None:
-            write_labels_txt(os.path.join(str(visual_dir),
-                                          scene_ids[batch_idx] + ".txt"),
-                             pred_label)
-            if visual:
-                kw = (dict(labels=pred_label, label2color=label2color)
-                      if result_color else {})
-                kw_gt = (dict(labels=whole_scene_label, label2color=label2color)
-                         if result_color else {})
-                write_obj_pointcloud(
-                    os.path.join(str(visual_dir),
-                                 scene_ids[batch_idx] + "_pred.obj"),
-                    whole_scene_data, **kw)
-                write_obj_pointcloud(
-                    os.path.join(str(visual_dir),
-                                 scene_ids[batch_idx] + "_gt.obj"),
-                    whole_scene_data, **kw_gt)
-
-    if prefetch is not None:
-        prefetch.shutdown(wait=False)
+            if visual_dir is not None:
+                write_labels_txt(os.path.join(str(visual_dir),
+                                              scene_ids[batch_idx] + ".txt"),
+                                 pred_label)
+                if visual:
+                    kw = (dict(labels=pred_label, label2color=label2color)
+                          if result_color else {})
+                    kw_gt = (dict(labels=whole_scene_label, label2color=label2color)
+                             if result_color else {})
+                    write_obj_pointcloud(
+                        os.path.join(str(visual_dir),
+                                     scene_ids[batch_idx] + "_pred.obj"),
+                        whole_scene_data, **kw)
+                    write_obj_pointcloud(
+                        os.path.join(str(visual_dir),
+                                     scene_ids[batch_idx] + "_gt.obj"),
+                        whole_scene_data, **kw_gt)
+    finally:
+        if prefetch is not None:
+            prefetch.shutdown(wait=False)
     iou = M.iou_from_tallies(totals)
     iou_str = "------- IoU --------\n"
     for l in range(num_classes):

@@ -39,14 +39,17 @@ class OptLeaves(list):
 def _pack_jit(leaves):
     import jax.numpy as jnp
 
+    # int32 is the container dtype (floats are bitcast INTO it), not float:
+    # integer data movement can never hit FTZ/NaN canonicalization on any
+    # backend, whereas f32-carried int bit patterns could alias denormals/NaNs
     parts = []
     for v in leaves:
         v = jnp.ravel(v)
         if jnp.issubdtype(v.dtype, jnp.floating):
-            parts.append(v.astype(jnp.float32))
-        else:
             parts.append(jax.lax.bitcast_convert_type(
-                v.astype(jnp.int32), jnp.float32))
+                v.astype(jnp.float32), jnp.int32))
+        else:
+            parts.append(v.astype(jnp.int32))
     return jnp.concatenate(parts) if len(parts) > 1 else parts[0]
 
 
@@ -56,9 +59,12 @@ def _to_host(tree):
     Per-leaf np.asarray pays the readback round-trip latency per leaf
     (~0.35 s through this image's TPU tunnel x ~300 leaves made every
     checkpoint save cost minutes — profiled 2026-08-17). Instead: float
-    leaves are upcast to f32 (exact for f32/bf16), integer/bool leaves are
-    bitcast to f32 bit patterns, everything is raveled and concatenated on
-    device, read back once, and split back to original shapes/dtypes."""
+    leaves are upcast to f32 (exact for f32/bf16) and bitcast to int32 bit
+    patterns, integer/bool leaves are cast to int32, everything is raveled
+    and concatenated on device, read back once, and split back to original
+    shapes/dtypes. The container is int32 on purpose: integer data movement
+    never flushes denormals or canonicalizes NaNs, so the bit-exactness of
+    the roundtrip does not depend on backend float semantics."""
     import jax.numpy as jnp
 
     leaves, treedef = jax.tree_util.tree_flatten(tree)
@@ -86,12 +92,12 @@ def _to_host(tree):
             seg = packed[off:off + n]
             off += n
             if jnp.issubdtype(leaf.dtype, jnp.floating):
-                host[i] = seg.astype(leaf.dtype).reshape(leaf.shape)
-            elif leaf.dtype == jnp.bool_:
-                host[i] = seg.view(np.int32).astype(bool).reshape(leaf.shape)
-            else:
-                host[i] = seg.view(np.int32).astype(
+                host[i] = seg.view(np.float32).astype(
                     leaf.dtype).reshape(leaf.shape)
+            elif leaf.dtype == jnp.bool_:
+                host[i] = seg.astype(bool).reshape(leaf.shape)
+            else:
+                host[i] = seg.astype(leaf.dtype).reshape(leaf.shape)
     return jax.tree_util.tree_unflatten(treedef, host)
 
 
