@@ -163,7 +163,32 @@ def test_pointnet_encoder_global_feat(rng):
 
 
 def test_registry():
-    assert models.get_module("pointnet2_sem_seg_original").__name__.endswith(
-        "pointnet2_sem_seg")
+    # geo_trial has the live signature/channels upstream -> pure alias
+    assert models.get_module("pointnet2_sem_seg_geo_trial").__name__.endswith(
+        ".pointnet2_sem_seg")
     with pytest.raises(ValueError):
         models.get_module("nope")
+
+
+@pytest.mark.parametrize("name,fixed_extra", [
+    ("pointnet2_sem_seg_original", 3),   # in_channel 9+3 upstream
+    ("pointnet2_sem_seg_trial", 0),      # in_channel 6+3 upstream
+    ("pointnet_sem_seg_original", 3),    # encoder channel=9 upstream
+])
+def test_frozen_variants_pin_channel_contract(name, fixed_extra):
+    """The frozen historical variants fix their input channel count upstream
+    (models/extra/*.py); selecting them must build exactly that net and
+    reject mismatched feature counts instead of silently adapting."""
+    mod = models.get_module(name)
+    key = jax.random.PRNGKey(0)
+    var = mod.init(key, 8, fixed_extra)
+    x = jnp.zeros((1, 64, 6 + fixed_extra), jnp.float32)
+    logp, aux, _ = mod.apply(var, x, training=False)
+    assert logp.shape == (1, 64, 8)
+    with pytest.raises(ValueError, match="frozen variant"):
+        mod.init(key, 8, fixed_extra + 1)
+    # the pinned net IS the live architecture at that feature count
+    live = models.get_module(name.replace("_original", "").replace("_trial", ""))
+    live_var = live.init(key, 8, fixed_extra)
+    assert jax.tree_util.tree_structure(var) == \
+        jax.tree_util.tree_structure(live_var)

@@ -78,3 +78,34 @@ def test_writers_roundtrip(tmp_path):
                          label2color={i: [i, i, i] for i in range(8)})
     lines = open(obj).read().splitlines()
     assert len(lines) == 4 and all(l.startswith("v ") for l in lines)
+
+
+@pytest.mark.skipif(shutil.which("g++") is None, reason="no C++ toolchain")
+def test_demo_snapshot(tmp_path):
+    """The viewer demo main (reference show3d_balls.py:167-223 counterpart)
+    renders a synthetic labeled cloud headlessly via --snapshot."""
+    from tumseg.viz.show3d import demo
+
+    out = str(tmp_path / "demo.png")
+    demo(["--snapshot", out, "--npoints", "500"])
+    import cv2
+
+    img = cv2.imread(out)
+    assert img is not None and img.shape == (800, 800, 3)
+    # white background with colored label sprites rendered on top
+    assert (img < 250).any()
+
+
+@pytest.mark.skipif(shutil.which("g++") is None, reason="no C++ toolchain")
+def test_demo_snapshot_from_las(tmp_path):
+    from tumseg.data.las import write_las
+    from tumseg.viz.show3d import demo
+
+    r = np.random.default_rng(1)
+    p = str(tmp_path / "tile.las")
+    write_las(p, r.random((300, 3)), np.arange(300) % 5)
+    out = str(tmp_path / "demo_las.png")
+    demo(["--dataset", p, "--snapshot", out, "--npoints", "200"])
+    import cv2
+
+    assert cv2.imread(out) is not None

@@ -10,14 +10,16 @@ import importlib
 from types import ModuleType
 
 _ALIASES = {
-    # reference's frozen experiment variants resolve to the live models
-    "pointnet2_sem_seg_original": "pointnet2_sem_seg",
-    "pointnet2_sem_seg_trial": "pointnet2_sem_seg",
+    # geo_trial has the live signature AND channel contract upstream
+    # (models/extra/pointnet2_sem_seg_geo_trial.py:7-9) — a pure alias; the
+    # other frozen variants pin their channel counts and get real modules
+    # (see tumseg/models/_frozen.py)
     "pointnet2_sem_seg_geo_trial": "pointnet2_sem_seg",
-    "pointnet_sem_seg_original": "pointnet_sem_seg",
 }
 
-AVAILABLE = ["pointnet2_sem_seg", "pointnet2_sem_seg_msg", "pointnet_sem_seg"]
+AVAILABLE = ["pointnet2_sem_seg", "pointnet2_sem_seg_msg", "pointnet_sem_seg",
+             "pointnet2_sem_seg_original", "pointnet2_sem_seg_trial",
+             "pointnet_sem_seg_original"]
 
 
 def get_module(name: str) -> ModuleType:

@@ -159,3 +159,74 @@ def showpoints(xyz, c_gt=None, c_pred=None, waittime=0, showrot=False,
         if waittime != 0:
             break
     return cmd
+
+
+def demo(argv=None):
+    """Runnable demo entry point, the counterpart of the reference viewer's
+    ``__main__`` (/root/reference/visualizer/show3d_balls.py:167-223): load a
+    cloud, resample ``--npoints`` points, color them with a label cmap and
+    drive :func:`showpoints`. Upstream the demo imports a ShapeNetDataLoader
+    that does not exist in the repository, so it cannot actually run there;
+    this one works: ``--dataset`` takes a LAS tile (labels from its
+    classification field), and with no dataset a synthetic labeled facade is
+    generated. ``--snapshot PATH`` renders headlessly instead of opening a
+    window (no display needed)."""
+    import argparse
+
+    parser = argparse.ArgumentParser(description=demo.__doc__)
+    parser.add_argument("--dataset", type=str, default=None,
+                        help="LAS tile to view (default: synthetic facade)")
+    parser.add_argument("--npoints", type=int, default=2500,
+                        help="resample points number")
+    parser.add_argument("--ballradius", type=int, default=10,
+                        help="ballradius")
+    parser.add_argument("--seed", type=int, default=0)
+    parser.add_argument("--snapshot", type=str, default=None,
+                        help="write one rendered frame to this PNG/JPG and "
+                             "exit instead of opening a window")
+    opt = parser.parse_args(argv)
+
+    rng = np.random.default_rng(opt.seed)
+    if opt.dataset:
+        from tumseg.data.las import read_las
+
+        las = read_las(opt.dataset)
+        point_set = np.asarray(las.xyz, dtype=np.float64)
+        seg = np.asarray(las.classification, dtype=np.int64)
+    else:  # synthetic facade: wall plane + window grid + terrain strip
+        n = 20000
+        x = rng.uniform(0, 4.0, n)
+        z = rng.uniform(0, 3.0, n)
+        y = rng.normal(0.0, 0.02, n)
+        seg = np.ones(n, dtype=np.int64)
+        seg[z < 0.3] = 2
+        seg[(np.floor(x / 0.8) % 2 == 0) & (np.floor(z / 0.9) % 2 == 1)] = 0
+        point_set = np.stack([x, y, z], axis=1)
+
+    choice = rng.choice(point_set.shape[0], opt.npoints, replace=True)
+    point_set, seg = point_set[choice, :], seg[choice]
+    seg = seg - seg.min()
+
+    # reference demo cmap (10 entries, reused cyclically for higher labels)
+    cmap = np.array([[1.0, 0.0, 0.0],
+                     [3.12493437e-02, 1.0, 1.31250131e-06],
+                     [0.0, 6.25019688e-02, 1.0]] + [[1.0, 0.0, 0.09375]] * 7)
+    gt = cmap[seg % len(cmap), :]
+
+    if opt.snapshot:
+        import cv2
+
+        frame = render_frame(point_set, _normalize_colors(gt),
+                             background=(255, 255, 255),
+                             ballradius=opt.ballradius)
+        cv2.imwrite(opt.snapshot, frame)
+        print(f"wrote {opt.snapshot}")
+        return
+
+    showpoints(point_set, gt, c_pred=gt, waittime=0, showrot=False,
+               magnifyBlue=0, freezerot=False, background=(255, 255, 255),
+               normalizecolor=True, ballradius=opt.ballradius)
+
+
+if __name__ == "__main__":
+    demo()
