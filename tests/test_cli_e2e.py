@@ -218,3 +218,50 @@ def test_train_resume(workspace, monkeypatch):
     args2 = train_cli.parse_args([a if a != "1" else "2" for a in common])
     acc, _, _ = train_cli.main(args2)
     assert len(acc) >= 1
+
+
+def test_train_then_test_cli_18class(workspace, monkeypatch):
+    """The reference DEFAULT taxonomy: no --class8 -> 18 classes with raw
+    LAS codes used unmapped (sem_seg_training.py:335-340), color ON
+    (no --RGB_OFF, :351-354) — end-to-end through both CLIs."""
+    from tumseg.cli import test as test_cli
+    from tumseg.cli import train as train_cli
+
+    monkeypatch.chdir(workspace)
+    common = [
+        "--rootdir", str(workspace / "data"),
+        "--test_area", "test_tile.las",
+        "--model", "pointnet_sem_seg",
+        "--exp_dir", str(workspace / "log"),
+        "--log_dir", "raw18",
+        "--seed", "0",
+    ]
+    targs = train_cli.parse_args(common + [
+        "--epoch", "1", "--batch_size", "4", "--npoint", "128"])
+    acc, ml, iou = train_cli.main(targs)
+    assert len(acc) == 1 and np.isfinite(ml[0])
+    eargs = test_cli.parse_args(common + [
+        "--exp_dir", str(workspace / "log") + "/sem_seg/",
+        "--batch_size", "4", "--num_point", "128", "--num_votes", "1"])
+    out = test_cli.main(eargs)
+    assert 0.0 <= out["miou"] <= 1.0
+    assert len(out["iou"]) == 18
+
+
+def test_train_cli_device_pipeline(workspace, monkeypatch):
+    """--data_pipeline device: rooms uploaded once, per-step input is a PRNG
+    key + room ids, block sampling/featurize fused into the step jit."""
+    from tumseg.cli import train as train_cli
+
+    monkeypatch.chdir(workspace)
+    args = train_cli.parse_args([
+        "--rootdir", str(workspace / "data"), "--test_area", "test_tile.las",
+        "--model", "pointnet_sem_seg", "--class8",
+        "--exp_dir", str(workspace / "log"), "--log_dir", "devpipe",
+        "--seed", "0", "--epoch", "1", "--batch_size", "4",
+        "--npoint", "128", "--data_pipeline", "device"])
+    acc, ml, iou = train_cli.main(args)
+    assert len(acc) == 1 and np.isfinite(ml[0])
+    ckpt = (workspace / "log" / "sem_seg" / "devpipe" / "checkpoints"
+            / "best_model.pth")
+    assert ckpt.exists()

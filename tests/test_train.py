@@ -327,3 +327,81 @@ def test_resume_on_mesh(tmp_path, rng):
     # two more steps: donated buffers keep their replicated sharding
     loss2, _ = resumed.train_batch(pts, target, 1e-3, 0.1)
     assert np.isfinite(float(loss2))
+
+
+def _toy_sampler(num_classes=4, num_point=128, n=6000, seed=0):
+    from tumseg.data.device_sampler import DeviceBlockSampler
+
+    r = np.random.default_rng(seed)
+    pts = np.stack([r.uniform(0, 3.0, n), r.uniform(0, 2.0, n),
+                    r.uniform(0, 1.0, n)], axis=1)
+    # learnable signal: class = quadrant of (x, y)
+    labels = ((pts[:, 0] > 1.5).astype(np.int64) * 2
+              + (pts[:, 1] > 1.0).astype(np.int64))
+    return DeviceBlockSampler([pts], [labels], [[]], color_flags=[],
+                              num_point=num_point, block_size=1.0,
+                              min_block_points=200)
+
+
+def test_device_sampled_training_descends():
+    """The fused room-ids step (device sampling + featurize + train) learns
+    the same toy signal the host-batch step does."""
+    model = models.get_module("pointnet_sem_seg")
+    engine = TrainEngine(model, num_classes=4, train_weights=np.ones(4),
+                         augment_rotate=False, seed=0,
+                         sampler=_toy_sampler())
+    engine.init_state(jax.random.PRNGKey(0), num_extra_features=0)
+    rooms = np.zeros(4, np.int32)
+    losses = [float(engine.train_batch_rooms(rooms, 1e-3, 0.1)[0])
+              for _ in range(12)]
+    assert losses[-1] < losses[0]
+    loss, tallies = engine.eval_batch_rooms(rooms)
+    assert np.isfinite(float(loss))
+    assert np.asarray(tallies["seen"]).sum() == 4 * 128
+
+
+def test_device_sampled_fit_end_to_end(tmp_path):
+    from tumseg.data.device_sampler import DeviceSampleLoader
+
+    class _Ds:  # minimal dataset surface for the loader
+        room_idxs = np.zeros(12, np.int64)
+
+    model = models.get_module("pointnet_sem_seg")
+    engine = TrainEngine(model, num_classes=4, train_weights=np.ones(4),
+                         augment_rotate=True, seed=0,
+                         sampler=_toy_sampler())
+    engine.init_state(jax.random.PRNGKey(0), num_extra_features=0)
+    loader = DeviceSampleLoader(_Ds(), batch_size=4, shuffle=True, seed=0)
+    eval_loader = DeviceSampleLoader(_Ds(), batch_size=4, shuffle=False)
+    logs = []
+    acc, ml, iou = fit(
+        engine, loader, eval_loader, start_epoch=0, end_epoch=2,
+        learning_rate=1e-3, lr_decay=0.7, step_size=10, batch_size=4,
+        num_point=128, checkpoints_dir=str(tmp_path),
+        model_name="/best_model.pth",
+        seg_label_to_cat={i: f"c{i}" for i in range(4)},
+        log_string=logs.append)
+    assert len(acc) == 2 and (tmp_path / "best_model.pth").exists()
+    assert all(np.isfinite(v) for v in ml)
+
+
+def test_device_sampled_step_on_mesh():
+    """The sampled train step runs under shard_map: room ids shard over the
+    data axis, sampler tables replicate, per-device keys draw distinct
+    blocks."""
+    from tumseg.parallel import make_mesh
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    model = models.get_module("pointnet_sem_seg")
+    engine = TrainEngine(model, num_classes=4, train_weights=np.ones(4),
+                         mesh=make_mesh(8), augment_rotate=True, seed=0,
+                         sampler=_toy_sampler())
+    engine.init_state(jax.random.PRNGKey(0), num_extra_features=0)
+    rooms = np.zeros(8, np.int32)
+    loss, correct = engine.train_batch_rooms(rooms, 1e-3, 0.1)
+    assert np.isfinite(float(loss))
+    assert 0 <= int(correct) <= 8 * 128
+    loss2, tallies = engine.eval_batch_rooms(rooms)
+    assert np.isfinite(float(loss2))
+    assert np.asarray(tallies["seen"]).sum() == 8 * 128

@@ -93,6 +93,13 @@ def parse_args(argv=None):
                         help="bfloat16 matmul activations")
     parser.add_argument("--seed", type=int, default=None,
                         help="deterministic data/model seed")
+    parser.add_argument("--data_pipeline", choices=["auto", "host", "device"],
+                        default="auto",
+                        help="block sampling/featurization location: 'device' "
+                             "uploads rooms once and fuses sampling into the "
+                             "train step (per-step upload ~100 bytes), 'host' "
+                             "is the reference-parity NumPy path; 'auto' "
+                             "picks device on TPU backends")
     parser.add_argument("--coordinator_address", type=str, default=None,
                         help="host:port of process 0 for multi-host pods "
                              "(jax.distributed)")
@@ -185,15 +192,40 @@ def main(args):
         TRAIN_DATASET.save_data(saveDir + saveTrain)
         EVAL_DATASET.save_data(saveDir + saveEval)
 
-    trainDataLoader = BatchLoader(TRAIN_DATASET, batch_size=BATCH_SIZE,
-                                  shuffle=True, num_workers=8, drop_last=True,
-                                  seed=args.seed)
-    evalDataLoader = BatchLoader(
-        EVAL_DATASET, batch_size=BATCH_SIZE, shuffle=False, num_workers=8,
-        drop_last=True,
-        # distinct stream from the train loader so --seed makes eval-block
-        # sampling (and thus eval metrics) reproducible too
-        seed=None if args.seed is None else args.seed + 1)
+    import jax as _jax
+
+    device_pipeline = (args.data_pipeline == "device"
+                       or (args.data_pipeline == "auto"
+                           and _jax.default_backend() in ("tpu", "axon")))
+    sampler = None
+    if device_pipeline:
+        # rooms upload once; each step ships a PRNG key + [B] room ids and
+        # samples/featurizes blocks inside the train-step jit (the serving
+        # path's index-only design applied to training; device_sampler.py).
+        # Same sampling distribution as the host loader, different RNG
+        # stream — use --data_pipeline host for the bit-parity path.
+        from tumseg.data.device_sampler import (DeviceBlockSampler,
+                                                DeviceSampleLoader)
+
+        sampler = DeviceBlockSampler.from_dataset(TRAIN_DATASET)
+        trainDataLoader = DeviceSampleLoader(
+            TRAIN_DATASET, batch_size=BATCH_SIZE, shuffle=True,
+            drop_last=True, seed=args.seed)
+        evalDataLoader = DeviceSampleLoader(
+            EVAL_DATASET, batch_size=BATCH_SIZE, shuffle=False,
+            drop_last=True)
+        print("Device data pipeline: rooms uploaded once, "
+              "per-step upload is a PRNG key + room ids")
+    else:
+        trainDataLoader = BatchLoader(TRAIN_DATASET, batch_size=BATCH_SIZE,
+                                      shuffle=True, num_workers=8,
+                                      drop_last=True, seed=args.seed)
+        evalDataLoader = BatchLoader(
+            EVAL_DATASET, batch_size=BATCH_SIZE, shuffle=False, num_workers=8,
+            drop_last=True,
+            # distinct stream from the train loader so --seed makes eval-block
+            # sampling (and thus eval metrics) reproducible too
+            seed=None if args.seed is None else args.seed + 1)
 
     log_string("The number of training data is: %d" % len(TRAIN_DATASET))
     train_labelweights = TRAIN_DATASET.calculate_labelweights()
@@ -218,7 +250,7 @@ def main(args):
         model, NUM_CLASSES, train_labelweights, optimizer=args.optimizer,
         weight_decay=args.decay_rate, mesh=mesh,
         compute_dtype=jnp.bfloat16 if args.bf16 else None,
-        seed=args.seed or 0)
+        seed=args.seed or 0, sampler=sampler)
 
     model_name = args.output_model
     resume_path = str(experiment_dir) + "/checkpoints" + model_name

@@ -29,6 +29,7 @@ import numpy as np
 import optax
 
 from tumseg.data import augment
+from tumseg.data.device_sampler import RoomBatch
 from tumseg.parallel import mesh as pmesh
 from tumseg.train import checkpoint as ckpt
 from tumseg.train import metrics as M
@@ -79,7 +80,7 @@ class TrainEngine:
                  optimizer: str = "Adam", weight_decay: float = 1e-4,
                  mesh=None, augment_rotate: bool = True,
                  compute_dtype=None, seed: int = 0,
-                 exact_gathers: bool = False):
+                 exact_gathers: bool = False, sampler=None):
         self.model = model
         self.num_classes = num_classes
         self.mesh = mesh
@@ -92,13 +93,23 @@ class TrainEngine:
         self._batch_sharding = (pmesh.batch_sharding(mesh)
                                 if mesh is not None else None)
         self._step_count = 0
+        self._eval_count = 0
+        # with a DeviceBlockSampler, train/eval steps take int32 room ids +
+        # a key instead of featurized batches: block selection/featurization
+        # runs inside the step jit from the sampler's once-uploaded tables
+        # (data/device_sampler.py)
+        self.sampler = sampler
         axis = pmesh.DATA_AXIS if mesh is not None else None
+
+        def fold_axis(key):
+            if axis is not None:
+                # per-device RNG streams for sampling/augmentation/dropout
+                key = jax.random.fold_in(key, jax.lax.axis_index(axis))
+            return key
 
         def train_step(params, batch_stats, opt_state, points, target,
                        weights, lr, momentum, key):
-            if axis is not None:
-                # per-device RNG streams for augmentation/dropout/FPS
-                key = jax.random.fold_in(key, jax.lax.axis_index(axis))
+            key = fold_axis(key)
             krot, kdrop, kfps = jax.random.split(key, 3)
             if self.augment_rotate:
                 rotated = augment.jrotate_z(krot, points[..., :3])
@@ -143,6 +154,22 @@ class TrainEngine:
                     lambda t: jax.lax.psum(t, axis), tallies)
             return loss, tallies
 
+        def train_step_rooms(params, batch_stats, opt_state, room_ids,
+                             weights, lr, momentum, key):
+            # sample the blocks on device from the once-uploaded room tables
+            # (per-device sub-key first so mesh shards draw distinct blocks);
+            # train_step folds the axis again on kstep — an already-varying
+            # key stays varying and distinct, so this is just a second
+            # deterministic derivation
+            ks, kstep = jax.random.split(fold_axis(key))
+            points, target = sampler.sample_batch(ks, room_ids)
+            return train_step(params, batch_stats, opt_state, points, target,
+                              weights, lr, momentum, kstep)
+
+        def eval_step_rooms(params, batch_stats, room_ids, weights, key):
+            points, target = sampler.sample_batch(fold_axis(key), room_ids)
+            return eval_step(params, batch_stats, points, target, weights)
+
         if mesh is not None:
             # shard_map: batch sharded over the data axis, state replicated;
             # collectives (BN pmean, loss/grad psum) are explicit above. This
@@ -163,9 +190,24 @@ class TrainEngine:
                 check_vma=True)
             self._train_step = jax.jit(train_sharded, donate_argnums=(0, 1, 2))
             self._eval_step = jax.jit(eval_sharded)
+            if sampler is not None:
+                self._train_step_rooms = jax.jit(jax.shard_map(
+                    train_step_rooms, mesh=mesh,
+                    in_specs=(P(), P(), P(), P_b, P(), P(), P(), P()),
+                    out_specs=(P(), P(), P(), P(), P()),
+                    check_vma=True), donate_argnums=(0, 1, 2))
+                self._eval_step_rooms = jax.jit(jax.shard_map(
+                    eval_step_rooms, mesh=mesh,
+                    in_specs=(P(), P(), P_b, P(), P()),
+                    out_specs=(P(), P()),
+                    check_vma=True))
         else:
             self._train_step = jax.jit(train_step, donate_argnums=(0, 1, 2))
             self._eval_step = jax.jit(eval_step)
+            if sampler is not None:
+                self._train_step_rooms = jax.jit(train_step_rooms,
+                                                 donate_argnums=(0, 1, 2))
+                self._eval_step_rooms = jax.jit(eval_step_rooms)
 
     # -- state management ---------------------------------------------------
 
@@ -240,6 +282,37 @@ class TrainEngine:
         return self._eval_step(self.params, self.batch_stats, points, target,
                                self.weights)
 
+    # -- device-sampled steps (room ids in, nothing featurized on host) -----
+
+    def _put_rooms(self, room_ids):
+        room_ids = jnp.asarray(room_ids, dtype=jnp.int32)
+        if self._batch_sharding is not None:
+            room_ids = jax.device_put(room_ids, self._batch_sharding)
+        return room_ids
+
+    def train_batch_rooms(self, room_ids, lr: float, momentum: float):
+        """One train step whose per-step upload is ~100 bytes: [B] int32
+        room ids + a PRNG key; block sampling/featurization runs on device
+        inside the step jit (requires the engine's ``sampler``)."""
+        key = jax.random.fold_in(self.base_key, self._step_count)
+        self._step_count += 1
+        (self.params, self.batch_stats, self.opt_state, loss,
+         correct) = self._train_step_rooms(
+            self.params, self.batch_stats, self.opt_state,
+            self._put_rooms(room_ids), self.weights, jnp.float32(lr),
+            jnp.float32(momentum), key)
+        return loss, correct
+
+    def eval_batch_rooms(self, room_ids):
+        # eval keys fold counters offset by 2^31: disjoint from the train
+        # stream's fold_in(base, step_count < 2^31) without re-deriving
+        # base_key (which would silently change existing host-path runs)
+        self._eval_count += 1
+        key = jax.random.fold_in(self.base_key, (1 << 31) + self._eval_count)
+        return self._eval_step_rooms(self.params, self.batch_stats,
+                                     self._put_rooms(room_ids), self.weights,
+                                     key)
+
 
 def fit(engine: TrainEngine, train_loader, eval_loader, *, start_epoch: int,
         end_epoch: int, learning_rate: float, lr_decay: float, step_size: int,
@@ -264,8 +337,14 @@ def fit(engine: TrainEngine, train_loader, eval_loader, *, start_epoch: int,
         total_seen = 0
         losses, corrects = [], []
         t0 = time.time()
-        for points, target in train_loader:
-            loss, correct = engine.train_batch(points, target, lr, momentum)
+        for batch in train_loader:
+            if isinstance(batch, RoomBatch):
+                # device pipeline: the batch exists only as room ids; blocks
+                # are sampled/featurized inside the step jit
+                loss, correct = engine.train_batch_rooms(batch.room_ids, lr,
+                                                         momentum)
+            else:
+                loss, correct = engine.train_batch(*batch, lr, momentum)
             # keep per-step results on device: a float() here would force a
             # host readback every step (~26 ms through this image's TPU
             # tunnel — 1.5x the step itself); one fence per epoch instead
@@ -294,8 +373,11 @@ def fit(engine: TrainEngine, train_loader, eval_loader, *, start_epoch: int,
         tallies = M.zero_tallies(num_classes)
         eval_losses = []
         eval_seen = 0
-        for points, target in eval_loader:
-            loss, t = engine.eval_batch(points, target)
+        for batch in eval_loader:
+            if isinstance(batch, RoomBatch):
+                loss, t = engine.eval_batch_rooms(batch.room_ids)
+            else:
+                loss, t = engine.eval_batch(*batch)
             eval_losses.append(loss)  # device-side; fenced once below
             tallies = M.accumulate(tallies, t)
             eval_seen += batch_size * num_point
