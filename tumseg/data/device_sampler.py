@@ -172,6 +172,23 @@ class DeviceBlockSampler:
         # never valid) so `bin_start + arange(cap)` cannot index off the end
         pad = np.full((self.cap, 3), 1e9, np.float32)
         self._xyz = jnp.asarray(np.concatenate(xyz_parts + [pad]))
+        # contiguous 1-D x/y planes for the candidate pass: bins are
+        # contiguous payload ranges, so candidate coords come out of
+        # dynamic_slice (coarse contiguous reads; measured 15.1 -> ~1 ms vs
+        # element-granular jnp.take at this shape, benchmarks/sampler_probe.py)
+        xyz_flat = np.concatenate(xyz_parts + [pad])
+        self._px = jnp.asarray(np.ascontiguousarray(xyz_flat[:, 0]))
+        self._py = jnp.asarray(np.ascontiguousarray(xyz_flat[:, 1]))
+        # one packed row table [xyz | extras | label-as-f32] so featurize is
+        # a SINGLE row gather instead of three (labels < 2^24 are exact f32)
+        packed = [np.concatenate(xyz_parts + [pad])]
+        if self.num_extra_features:
+            packed.append(np.concatenate(
+                ext_parts + [np.zeros((self.cap, self.num_extra_features),
+                                      np.float32)]))
+        lab_np = np.concatenate(lab_parts + [np.zeros(self.cap, np.int32)])
+        packed.append(lab_np.astype(np.float32)[:, None])
+        self._packed = jnp.asarray(np.concatenate(packed, axis=1))
         self._labels = jnp.asarray(np.concatenate(
             lab_parts + [np.zeros(self.cap, np.int32)]))
         if self.num_extra_features:
@@ -227,14 +244,22 @@ class DeviceBlockSampler:
                 g = jnp.where(ok, self._room_bin_off[rid] + jx * nby + jy, 0)
                 starts.append(jnp.where(ok, self._bin_start[g], 0))
                 counts.append(jnp.where(ok, self._bin_count[g], 0))
+        lane = jnp.arange(self.cap, dtype=jnp.int32)
+        # bins are contiguous payload ranges and the payload is padded by
+        # cap rows, so dynamic_slice never clamps (start + cap <= len) and
+        # the coord reads are 9 coarse contiguous copies instead of 9*cap
+        # random element gathers (the measured hot spot of the whole step)
+        px = jnp.stack([jax.lax.dynamic_slice(self._px, (s,), (self.cap,))
+                        for s in starts])                       # [9, cap]
+        py = jnp.stack([jax.lax.dynamic_slice(self._py, (s,), (self.cap,))
+                        for s in starts])
         starts = jnp.stack(starts)                              # [9]
         counts = jnp.stack(counts)                              # [9]
-        lane = jnp.arange(self.cap, dtype=jnp.int32)
         idx = (starts[:, None] + lane[None, :]).reshape(-1)     # [9*cap]
-        valid = (lane[None, :] < counts[:, None]).reshape(-1)
-        px = jnp.take(self._xyz[:, 0], idx)
-        py = jnp.take(self._xyz[:, 1], idx)
-        inside = (valid
+        valid = (lane[None, :] < counts[:, None])
+        px = px.reshape(-1)
+        py = py.reshape(-1)
+        inside = (valid.reshape(-1)
                   & (px >= cx - half) & (px <= cx + half)
                   & (py >= cy - half) & (py <= cy + half))
         return idx, inside
@@ -272,15 +297,16 @@ class DeviceBlockSampler:
         wr = jnp.take(ranked, r)
         sel = jnp.where(cnt >= P, wor, wr)     # replace iff cnt < P (:218)
 
-        pts = jnp.take(self._xyz, sel, axis=0)
+        rows = jnp.take(self._packed, sel, axis=0)  # [P, 3+E+1] one gather
+        pts = rows[:, :3]
         cmax = self._room_cmax[rid]
         feats = [pts[:, :2] - center[:2],      # x-cx, y-cy
                  pts[:, 2:3],                  # z uncentered (:228)
                  pts / cmax]                   # x/max_x, y/max_y, z/max_z
         if self.num_extra_features:
-            feats.append(jnp.take(self._extra, sel, axis=0))
+            feats.append(rows[:, 3:3 + self.num_extra_features])
         points = jnp.concatenate(feats, axis=1)
-        labels = jnp.take(self._labels, sel)
+        labels = rows[:, 3 + self.num_extra_features].astype(jnp.int32)
         return points, labels, center, cnt, sel
 
     def sample_batch(self, key, room_ids):
