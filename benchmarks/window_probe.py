@@ -32,6 +32,9 @@ def main():
     ap.add_argument("--chain", type=int, default=20)
     ap.add_argument("--windows", default="1024,1536,2048")
     ap.add_argument("--s_tiles", default="128")
+    ap.add_argument("--facade", action="store_true",
+                    help="facade-block geometry (1m x 1m xy, 12m z — the "
+                         "serving scan's shape) instead of the uniform cube")
     args = ap.parse_args()
 
     from tumseg.ops.pallas import ballquery as bq
@@ -39,6 +42,8 @@ def main():
     B, N, S, K, radius = 32, 4096, 1024, 32, 0.1
     r = np.random.default_rng(0)
     xyz = jnp.asarray(r.random((B, N, 3)), jnp.float32)
+    if args.facade:
+        xyz = xyz * jnp.asarray([1.0, 1.0, 12.0], jnp.float32)
     q = xyz[:, :S, :]
 
     bench = Bench(args.iters, args.chain)
