@@ -51,7 +51,7 @@ def main():
         runner.infer_scene(ds, 0, num_votes=1)
 
         (flat_base, starts_pos, counts_pos, cell_rank, offsets_pad,
-         nb, nb_pad) = runner._grid_tensors(ds, 0)
+         nb, nb_pad, nc) = runner._grid_tensors(ds, 0)
         sx, se, cm, cmask = runner._scene_tensors(ds, 0)
         n_pad = int(sx.shape[0])
         vote_fn = runner._vote_scan_fn(1.0, int(se.shape[1]))

@@ -48,7 +48,7 @@ def main():
     runner.infer_scene(ds, 0, num_votes=1)  # warm
 
     (flat_base, starts_pos, counts_pos, cell_rank, offsets_pad,
-     nb, nb_pad) = runner._grid_tensors(ds, 0)
+     nb, nb_pad, nc) = runner._grid_tensors(ds, 0)
     labels = jnp.asarray(ds.semantic_labels_list[0].astype(np.int32))
     lw = jnp.asarray(ds.labelweights)
     sx, se, cm, cmask = runner._scene_tensors(ds, 0)

@@ -51,8 +51,7 @@ def main():
                              device_features=True, device_reblock=True)
 
     (flat_base, starts_pos, counts_pos, cell_rank, offsets_pad,
-     nb, nb_pad) = runner._grid_tensors(ds, 0)
-    nc = len(ds.grid_structure(0))
+     nb, nb_pad, nc) = runner._grid_tensors(ds, 0)
     sx, se, cm, cmask = runner._scene_tensors(ds, 0)
     n_pad = int(sx.shape[0])
     fwd_feat = runner._forward_featurized_fn

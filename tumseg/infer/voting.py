@@ -242,16 +242,20 @@ class InferenceRunner:
         """Per-scene device cache with content-identity validation (the
         source array object is stored alongside the tensors and compared
         with `is`, like TestGridDataset.grid_structure — id() alone can be
-        reused after garbage collection) and eviction of other scenes'
-        entries (scenes are processed sequentially; keeping them all would
-        pin every scene's tensors in HBM)."""
+        reused after garbage collection). Holds at most TWO scenes —
+        the one being voted and the one ``prefetch_scene`` uploads while
+        the device scans (run_testing overlaps scene N+1's host gridding
+        AND device uploads with scene N's votes); older entries evict so
+        a long dataset never pins every scene's tensors in HBM."""
         key = (id(dataset), scene_idx)
         src = dataset.scene_points_list[scene_idx]
         hit = cache.get(key)
         if hit is None or hit[0] is not src:
             value = build()
-            cache.clear()
+            cache.pop(key, None)
             cache[key] = (src, value)
+            while len(cache) > 2:
+                cache.pop(next(iter(cache)))
             return value
         return hit[1]
 
@@ -330,9 +334,22 @@ class InferenceRunner:
             offsets_pad = np.zeros((nb_pad, 2), np.float32)
             offsets_pad[:nb] = offsets
             return (jnp.asarray(flat_base), starts_pos, counts_pos,
-                    cell_rank, jnp.asarray(offsets_pad), nb, nb_pad)
+                    cell_rank, jnp.asarray(offsets_pad), nb, nb_pad, nc)
 
         return self._cached(self._grid_cache, dataset, scene_idx, build)
+
+    def prefetch_scene(self, dataset, scene_idx: int) -> None:
+        """Stage a scene's device tensors (raw columns + grid flats) ahead
+        of time — run_testing calls this from its prefetch thread so scene
+        N+1's host gridding AND its uploads through the host->device link
+        overlap scene N's vote scans (the caches hold two scenes)."""
+        if not hasattr(dataset, "grid_structure"):
+            return
+        dataset.grid_structure(scene_idx)   # host gridding (memoized)
+        if self.device_features:
+            self._scene_tensors(dataset, scene_idx)
+            if self.device_reblock:
+                self._grid_tensors(dataset, scene_idx)
 
     def _vote_scan_fn(self, block_size: float, n_feat_extra: int):
         """One jit per (block shape): runs ALL of a vote's blocks through
@@ -429,7 +446,7 @@ class InferenceRunner:
             dataset, scene_idx)
         n_pad = int(scene_xyz.shape[0])       # bucket-padded scene rows
         (flat_base, starts_pos, counts_pos, cell_rank, offsets_pad,
-         nb, nb_pad) = self._grid_tensors(dataset, scene_idx)
+         nb, nb_pad, nc) = self._grid_tensors(dataset, scene_idx)
         # dump row n_pad absorbs padded blocks' votes
         C = self.num_classes
         pool_flat = jnp.zeros(((n_pad + 1) * C,), jnp.float32)
@@ -441,9 +458,6 @@ class InferenceRunner:
         # randomness across scenes (the host path consumes one continuing
         # Generator stream and has no such correlation)
         scene_key = jax.random.fold_in(self._base_key, scene_idx)
-        # num_cells is host-known (grid_structure memoizes), enabling the
-        # packed single-key shuffle sort inside _reblock_on_device
-        nc = len(dataset.grid_structure(scene_idx))
         for vote in range(num_votes):
             k = jax.random.fold_in(scene_key, vote)
             idx_blocks = _reblock_on_device(k, flat_base, starts_pos,
@@ -578,8 +592,9 @@ def run_testing(dataset, runner: InferenceRunner, *, num_votes: int,
     per_scene_miou = []
 
     # overlap the NEXT scene's host gridding (~0.7 s/scene at 1M points)
-    # with the device compute of the current scene's votes; grid_structure
-    # memoizes per scene, so the main thread's later call is a cache hit
+    # AND its device-tensor uploads with the device compute of the current
+    # scene's votes; both memoize per scene (runner caches hold two scenes)
+    # so the main thread's later calls are cache hits
     prefetch = (ThreadPoolExecutor(max_workers=1)
                 if hasattr(dataset, "grid_structure") else None)
 
@@ -592,7 +607,7 @@ def run_testing(dataset, runner: InferenceRunner, *, num_votes: int,
             print("Inference [%d/%d] %s ..." % (batch_idx + 1, len(dataset),
                                                 scene_ids[batch_idx]))
             if prefetch is not None and batch_idx + 1 < len(dataset):
-                prefetch.submit(dataset.grid_structure, batch_idx + 1)
+                prefetch.submit(runner.prefetch_scene, dataset, batch_idx + 1)
             whole_scene_label = dataset.semantic_labels_list[batch_idx].astype(int)
             whole_scene_data = dataset.scene_points_list[batch_idx]
 
