@@ -72,9 +72,6 @@ def _build_reblock_arrays(cells, block_points: int):
             np.concatenate(offsets, axis=0).astype(np.float32))
 
 
-_EXACT_SHUFFLE = os.environ.get("TUMSEG_EXACT_SHUFFLE", "0") == "1"
-
-
 @partial(jax.jit, static_argnums=(5, 6))
 def _reblock_on_device(key, flat_base, starts_pos, counts_pos, cell_rank,
                        block_points: int, num_cells: int = 0):
@@ -86,15 +83,13 @@ def _reblock_on_device(key, flat_base, starts_pos, counts_pos, cell_rank,
     path draws without replacement when shortfall <= count — a distribution
     nuance on the duplicated padding points only).
 
-    When ``num_cells`` is given and small enough, the (cell_rank, rand)
-    pair packs into ONE uint32 sort key — ceil(log2(nc)) rank bits above
-    >= 20 random bits — cutting the per-vote sort from a 3-array/2-key to
-    a 2-array/1-key form (measured 53.6 -> ~30 ms at L=4.45M,
-    benchmarks/serve_probe4.py). The cost is >=2^-20-probability key ties,
-    which the stable sort resolves in payload (deterministic) order instead
-    of randomly — a vanishing shuffle bias (expected ~16 affected pairs per
-    16K-slot cell at 23 random bits). TUMSEG_EXACT_SHUFFLE=1 (or
-    num_cells=0) keeps the exact two-key shuffle."""
+    ``num_cells`` is accepted (and cached alongside the grid tensors) for
+    callers that want it; a packed single-uint32-key variant of the shuffle
+    sort was MEASURED A WASH — 55.6 vs 56.9 ms at L=4.45M
+    (benchmarks/serve_probe4.py): the sort cost is the L-element data
+    movement, not the key count — so the exact two-key shuffle is always
+    used and the distribution stays bias-free."""
+    del num_cells
     L = flat_base.shape[0]
     kf, ks = jax.random.split(key)
     u = jax.random.uniform(kf, (L,), jnp.float32)
@@ -103,14 +98,8 @@ def _reblock_on_device(key, flat_base, starts_pos, counts_pos, cell_rank,
     pos_in_cell = jnp.arange(L, dtype=jnp.int32) - starts_pos
     seq = jnp.where(pos_in_cell >= counts_pos, fill_val, flat_base)
     rand_bits = jax.random.bits(ks, (L,), jnp.uint32)
-    rank_bits = max(1, (int(num_cells) - 1).bit_length()) if num_cells else 32
-    if num_cells and rank_bits <= 12 and not _EXACT_SHUFFLE:
-        packed = ((cell_rank.astype(jnp.uint32) << (32 - rank_bits))
-                  | (rand_bits >> rank_bits))
-        _, shuffled = jax.lax.sort((packed, seq), dimension=0, num_keys=1)
-    else:
-        _, _, shuffled = jax.lax.sort((cell_rank, rand_bits, seq),
-                                      dimension=0, num_keys=2)
+    _, _, shuffled = jax.lax.sort((cell_rank, rand_bits, seq),
+                                  dimension=0, num_keys=2)
     return shuffled.reshape(-1, block_points)
 
 
