@@ -118,7 +118,7 @@ class InferenceRunner:
     def __init__(self, model, variables: Dict, num_classes: int,
                  batch_size: int = 32, mesh=None, compute_dtype=None,
                  device_features="auto", device_reblock="auto",
-                 seed: int = 0):
+                 window_ops="auto", seed: int = 0):
         self.model = model
         self.variables = variables
         self.num_classes = num_classes
@@ -131,9 +131,16 @@ class InferenceRunner:
         if device_reblock == "auto":
             device_reblock = self.device_features
         self.device_reblock = bool(device_reblock)
-        # z-window extraction kernels pay off on real-scan blocks (metres of
-        # z for r=0.1 balls); guarded-exact, so "auto" follows device_reblock
-        self.window_ops = self.device_reblock
+        # z-window extraction kernels: the ball-query window is dispatched
+        # unconditionally by the ops layer (tiered, guarded-exact); this
+        # flag additionally enables the 3-NN window inside the scan trace.
+        # Measured OFF wins end to end: the 3-NN window loses even on
+        # facade columns (2.38 vs 1.99 ms at fp1, window_probe.py --facade)
+        # and the real vote scan confirms it (1.92M vs 1.86M scene-pts/s,
+        # predictions bit-equal — benchmarks/serve_probe5.py, two runs).
+        if window_ops == "auto":
+            window_ops = False
+        self.window_ops = bool(window_ops)
         self._base_key = jax.random.PRNGKey(int(seed))
         self._scene_cache = {}
         self._grid_cache = {}

@@ -66,11 +66,14 @@ def query_ball_point(radius, nsample, xyz, new_xyz):
                 # full-kernel fallback — never slower than the full kernel by
                 # more than the sort glue, so no opt-in gate. Measured at sa1
                 # (B32 N4096 S1024 r0.1): uniform-cube worst case fits N//2
-                # at 3.1 vs 4.0 ms full; facade blocks fit N//4.
+                # at 3.1 vs 4.0 ms full; facade blocks fit the tight 3N/16
+                # tier (2.09 ms at C=768 vs 2.29 at N//4 — window_probe.py
+                # --facade sweep, round 3).
                 from tumseg.ops.pallas.ballquery import (
                     query_ball_point_windowed)
                 return query_ball_point_windowed(
-                    radius, nsample, xyz, new_xyz, (_bq_window(N), N // 2))
+                    radius, nsample, xyz, new_xyz,
+                    (_bq_window_tight(N), _bq_window(N), N // 2))
             return _pallas().query_ball_point(radius, nsample, xyz, new_xyz)
         except NotImplementedError:
             pass
@@ -131,6 +134,15 @@ def _bq_window(n: int) -> int:
     # a 128-query tile spans ~N/8 candidate ranks; real facade blocks add
     # only a thin in-radius z-slab on top of that
     return min(n, max(1024, (n // 4 + 127) // 128 * 128))
+
+
+def _bq_window_tight(n: int) -> int:
+    # facade columns (1 m x 1 m xy, metres of z) concentrate each query
+    # tile's in-radius span even tighter than N/4; the round-3 facade sweep
+    # (window_probe.py --facade) shows C=768 covers at N=4096 and runs
+    # 2.09 vs 2.29 ms — the cond chain falls through to the wider tiers on
+    # data that needs them
+    return min(n, max(768, (3 * n // 16 + 127) // 128 * 128))
 
 
 def _three_nn_window(s: int) -> int:
