@@ -400,3 +400,47 @@ def test_threenn_windowed_guard_falls_back():
     wd, wi = _three_nn_windowed_impl(xyz1, xyz2, 128, 64)
     np.testing.assert_array_equal(np.asarray(wi), np.asarray(fi))
     np.testing.assert_allclose(np.asarray(wd), np.asarray(fd), atol=1e-6)
+
+
+def test_fused_ball_group_structures_agree():
+    """The gridk structure (one k per grid step; the shape that actually
+    compiles on the Mosaic backend — see docs/DESIGN.md) must reproduce
+    the unrolled structure bit-for-bit, K not a multiple of 8 included."""
+    from tumseg.ops.pallas.fusedgroup import fused_ball_group
+
+    rng = np.random.default_rng(17)
+    B, N, S = 2, 512, 128
+    xyz = jnp.asarray(rng.random((B, N, 3)), jnp.float32)
+    new_xyz = xyz[:, :S, :]
+    src = jnp.concatenate(
+        [xyz, jnp.asarray(rng.random((B, N, 5)), jnp.float32)], axis=-1)
+    for K in (4, 12, 16):
+        gg, gi = fused_ball_group(0.12, K, xyz, new_xyz, src,
+                                  structure="gridk")
+        ug, ui = fused_ball_group(0.12, K, xyz, new_xyz, src,
+                                  structure="unroll")
+        np.testing.assert_array_equal(np.asarray(gi), np.asarray(ui))
+        np.testing.assert_array_equal(np.asarray(gg), np.asarray(ug))
+
+
+def test_threenn_transposed_matches_row():
+    """Candidates-on-sublanes peel with direct VPU distance build: any
+    index that differs from the row kernel's expansion form must be a
+    rounding-level distance TIE (the two forms round differently near
+    equidistant candidates; ~4e-5 of picks at fp1 scale, RESULTS.md), and
+    selected distances agree to the forms' rounding difference."""
+    from tumseg.ops.pallas.threenn import _three_nn_impl, _three_nn_impl_t
+
+    rng = np.random.default_rng(19)
+    for B, N, S in [(2, 256, 128), (1, 1024, 512), (2, 100, 40)]:
+        xyz1 = jnp.asarray(rng.random((B, N, 3)), jnp.float32)
+        xyz2 = jnp.asarray(rng.random((B, S, 3)), jnp.float32)
+        rd, ri = _three_nn_impl(xyz1, xyz2)
+        td, ti = _three_nn_impl_t(xyz1, xyz2)
+        rd, ri, td, ti = map(np.asarray, (rd, ri, td, ti))
+        mism = ti != ri
+        assert mism.mean() < 1e-3
+        # mismatched picks must be ties: selected distances still agree
+        np.testing.assert_allclose(td, rd, atol=2e-6)
+        if mism.any():
+            assert np.max(np.abs(td[mism] - rd[mism])) < 2e-6

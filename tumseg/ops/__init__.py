@@ -191,11 +191,12 @@ def group_neighborhoods(idx, src, new_xyz, fast_gather=False):
 # Fused ball-query+group (ops/pallas/fusedgroup.py): cnt = cumsum(in_ball)
 # turns first-K-by-index selection into the gather one-hot directly,
 # skipping both the K-peel and the index->one-hot rebuild of the split
-# path. Parity is exact (tests/test_pallas_ops.py::test_fused_*), but the
-# Mosaic backend currently takes pathologically long to compile its
-# chunked-cumsum + K-matmul structure at sa1 scale (minutes-to-hours;
-# several outright compiler crashes documented in the kernel), so it stays
-# OPT-IN until the compile path is tamed. TUMSEG_OPS_FUSED_GROUP=1 enables.
+# path. Parity is exact (tests/test_pallas_ops.py::test_fused_*) and the
+# round-3 grid-k restructure compiles fine, but ON DEVICE it LOSES to the
+# split path at every stage shape (9.5 vs 5.3 ms at sa1, 1.53 vs 1.22 at
+# sa2 — the cumsum tri-matmul + f32 selection compares + per-k index
+# recovery cost more than the peel they replace; docs/DESIGN.md). Stays
+# OPT-IN on measurement. TUMSEG_OPS_FUSED_GROUP=1 enables.
 _FUSED_GROUP = os.environ.get("TUMSEG_OPS_FUSED_GROUP", "0") == "1"
 
 

@@ -95,9 +95,12 @@ def _fused_kernel(radius: float, nsample: int, exact: bool,
             else jnp.concatenate(cntm_chunks, axis=0))     # [N, S_t]
     s_iota = lax.broadcasted_iota(jnp.int32, (1, N),
                                   dimension=1).astype(jnp.float32)
-    center = jnp.concatenate(
-        [qx, qy, qz] + ([jnp.zeros((C - 3, S_t), jnp.float32)]
-                        if C > 3 else []), axis=0)         # [C, S_t]
+    # row-iota-mask center build (see gridk kernel: Mosaic crashes on the
+    # row concat here)
+    c_iota = lax.broadcasted_iota(jnp.int32, (C, S_t), 0)
+    center = ((c_iota == 0).astype(jnp.float32) * qx
+              + (c_iota == 1).astype(jnp.float32) * qy
+              + (c_iota == 2).astype(jnp.float32) * qz)    # [C, S_t]
     for k in range(nsample):  # python floats: captured jnp scalars error
         # arithmetic select (see minefield note): k+1 while in range, else 1
         target_k = 1.0 + (total > float(k)).astype(jnp.float32) * float(k)
@@ -111,6 +114,150 @@ def _fused_kernel(radius: float, nsample: int, exact: bool,
         # as query_ball_point's shortfall-with-nothing-found.
         empty = (total <= 0.0).astype(jnp.float32) * float(N)
         idxT_ref[0, k:k + 1, :] = _split3_dot(s_iota, ek, True) + empty
+
+
+def _fused_gridk_kernel(radius: float, nsample: int, exact: bool,
+                        xyz_ref, q_ref, srcT_ref, outT_ref, idxT_ref,
+                        cntm_ref, total_ref):
+    """One k per grid step (grid = [B, S/s_tile, K], k fastest).
+
+    The unrolled kernel above compiles pathologically on the current
+    Mosaic backend at sa scale — the program repeats the compare+matmul
+    body K=32 times. Here each grid step holds ONE k-body: the cumsum
+    selection map is computed once per (batch, s-tile) at k == 0 into
+    VMEM scratch and re-read by the remaining K-1 steps, so program size
+    is ~K× smaller while device work is identical. Output rows for step k
+    land via the BlockSpec row-block index (no dynamic stores); indices
+    accumulate one-hot into an 8-row block (k // 8) because a 1-row
+    dynamic store is not legal on sublanes.
+    """
+    N = xyz_ref.shape[1]
+    S_t = q_ref.shape[1]
+    C = srcT_ref.shape[1]
+    k = pl.program_id(2)
+
+    qx = q_ref[0, :, 0][None, :]                          # [1, S_t]
+    qy = q_ref[0, :, 1][None, :]
+    qz = q_ref[0, :, 2][None, :]
+
+    @pl.when(k == 0)
+    def _():
+        sx = xyz_ref[0, :, 0][:, None]                    # [N, 1]
+        sy = xyz_ref[0, :, 1][:, None]
+        sz = xyz_ref[0, :, 2][:, None]
+        dx = sx - qx
+        dy = sy - qy
+        dz = sz - qz
+        d = dx * dx + dy * dy + dz * dz                   # [N, S_t]
+        mask = (d <= radius * radius).astype(jnp.bfloat16)
+        chunk = min(_CHUNK, N)
+        tri = (lax.broadcasted_iota(jnp.int32, (chunk, chunk), 0)
+               >= lax.broadcasted_iota(jnp.int32, (chunk, chunk), 1)
+               ).astype(jnp.bfloat16)
+        carry = jnp.zeros((1, S_t), dtype=jnp.float32)
+        for ci in range(N // chunk):
+            m_c = mask[ci * chunk:(ci + 1) * chunk, :]
+            m_cf = m_c.astype(jnp.float32)
+            cnt_c = jnp.dot(tri, m_c,
+                            preferred_element_type=jnp.float32) + carry
+            cntm_ref[ci * chunk:(ci + 1) * chunk, :] = (
+                cnt_c * m_cf - (1.0 - m_cf))
+            carry = carry + jnp.sum(m_cf, axis=0, keepdims=True)
+        total_ref[0:1, :] = carry
+
+    cntm = cntm_ref[:, :]                                  # [N, S_t]
+    total = total_ref[0:1, :]                              # [1, S_t]
+    kf = k.astype(jnp.float32)
+    # k+1 while k < total (in range), else 1: the reference's group_first
+    # shortfall fill, as pure arithmetic on the traced grid index
+    target_k = 1.0 + (total > kf).astype(jnp.float32) * kf
+    ek = (cntm == target_k).astype(jnp.bfloat16)           # [N, S_t]
+    gathered = _split3_dot(srcT_ref[0, :, :], ek, exact)   # [C, S_t]
+    # center rows 0-2 = query xyz, rest 0 — built arithmetically via
+    # row-iota masks: tpu.concatenate of single rows onto a zeros block
+    # is ANOTHER Mosaic crash ("result/input offset mismatch on
+    # non-concat dimension", /tmp/fused_sa2.log 2026-08-17)
+    c_iota = lax.broadcasted_iota(jnp.int32, (C, S_t), 0)
+    center = ((c_iota == 0).astype(jnp.float32) * qx
+              + (c_iota == 1).astype(jnp.float32) * qy
+              + (c_iota == 2).astype(jnp.float32) * qz)    # [C, S_t]
+    outT_ref[0, :, :] = (gathered - center).astype(outT_ref.dtype)
+
+    s_iota = lax.broadcasted_iota(jnp.int32, (1, N),
+                                  dimension=1).astype(jnp.float32)
+    empty = (total <= 0.0).astype(jnp.float32) * float(N)
+    idx_row = _split3_dot(s_iota, ek, True) + empty        # [1, S_t]
+    row_sel = (lax.broadcasted_iota(jnp.int32, (8, S_t), 0)
+               == lax.rem(k, 8)).astype(jnp.float32)
+    contrib = row_sel * idx_row                            # [8, S_t]
+
+    @pl.when(lax.rem(k, 8) == 0)
+    def _():
+        idxT_ref[0, :, :] = contrib
+
+    @pl.when(lax.rem(k, 8) != 0)
+    def _():
+        idxT_ref[0, :, :] += contrib
+
+
+def _fused_gridk_impl(radius: float, nsample: int, xyz, new_xyz, src,
+                      exact: bool):
+    B, N, _ = xyz.shape
+    S = new_xyz.shape[1]
+    C = src.shape[2]
+    if N > _CHUNK and N % _CHUNK != 0:
+        raise NotImplementedError(
+            f"fused_ball_group needs N <= {_CHUNK} or N % {_CHUNK} == 0, "
+            f"got N={N}")
+    s_tile = min(_S_TILE, S)
+    if S % s_tile != 0:
+        s_tile = S
+
+    xyzf = xyz.astype(jnp.float32)
+    queries = new_xyz.astype(jnp.float32)
+    srcT = jnp.transpose(src.astype(jnp.float32), (0, 2, 1))  # [B, C, N]
+    C8 = (C + 7) // 8 * 8
+    if C8 != C:
+        srcT = jnp.pad(srcT, [(0, 0), (0, C8 - C), (0, 0)])
+    K8 = (nsample + 7) // 8 * 8
+
+    out_dtype = jnp.float32 if exact else jnp.bfloat16
+    grid = (B, S // s_tile, nsample)
+    kernel = functools.partial(_fused_gridk_kernel, float(radius), nsample,
+                               exact)
+    outT, idxT = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, N, 3), lambda i, j, k: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, s_tile, 3), lambda i, j, k: (i, j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, C8, N), lambda i, j, k: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((1, C8, s_tile), lambda i, j, k: (i, k, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 8, s_tile), lambda i, j, k: (i, k // 8, j),
+                         memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((B, nsample * C8, S), out_dtype),
+            jax.ShapeDtypeStruct((B, K8, S), jnp.float32),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((N, s_tile), jnp.float32),
+            pltpu.VMEM((8, s_tile), jnp.float32),
+        ],
+    )(xyzf, queries, srcT)
+
+    # [B, K*C8, S] -> [B, S, K, C]
+    grouped = jnp.transpose(outT, (0, 2, 1)).reshape(
+        B, S, nsample, C8)[..., :C]
+    idx = jnp.rint(jnp.transpose(idxT[:, :nsample, :],
+                                 (0, 2, 1))).astype(jnp.int32)
+    return grouped, idx
 
 
 def _fused_impl(radius: float, nsample: int, xyz, new_xyz, src, exact: bool):
@@ -168,13 +315,15 @@ def _fused_impl(radius: float, nsample: int, xyz, new_xyz, src, exact: bool):
     return grouped, idx
 
 
-def _make_fused(radius: float, nsample: int, exact: bool):
+def _make_fused(radius: float, nsample: int, exact: bool, structure: str):
+    impl = _fused_gridk_impl if structure == "gridk" else _fused_impl
+
     @jax.custom_vjp
     def fused(xyz, new_xyz, src):
-        return _fused_impl(radius, nsample, xyz, new_xyz, src, exact)
+        return impl(radius, nsample, xyz, new_xyz, src, exact)
 
     def _fwd(xyz, new_xyz, src):
-        grouped, idx = _fused_impl(radius, nsample, xyz, new_xyz, src, exact)
+        grouped, idx = impl(radius, nsample, xyz, new_xyz, src, exact)
         return (grouped, idx), (idx, src.shape[1])
 
     def _bwd(res, cots):
@@ -199,16 +348,22 @@ _FUSED_CACHE = {}
 
 def fused_ball_group(radius: float, nsample: int, xyz: jnp.ndarray,
                      new_xyz: jnp.ndarray, src: jnp.ndarray,
-                     fast: bool = False):
+                     fast: bool = False, structure: str = None):
     """xyz [B,N,3], new_xyz [B,S,3], src [B,N,3+D] (xyz-first channels) ->
     (grouped [B,S,K,3+D] with channels 0-2 center-relative, idx [B,S,K]).
 
     Drop-in for query_ball_point + group_neighborhoods in one kernel pass.
     ``fast`` selects the single-pass bf16 gather (bf16 compute mode);
-    exact mode reconstructs f32 via the 3-way bf16 split.
+    exact mode reconstructs f32 via the 3-way bf16 split. ``structure``
+    picks the kernel shape: "gridk" (default; one k per grid step, ~K×
+    smaller Mosaic program) or "unroll" (original Python-unrolled k-loop,
+    kept for A/B — it crashes or compiles pathologically at sa scale).
     """
-    key = (float(radius), int(nsample), bool(fast))
+    import os
+    if structure is None:
+        structure = os.environ.get("TUMSEG_FUSED_STRUCTURE", "gridk")
+    key = (float(radius), int(nsample), bool(fast), structure)
     if key not in _FUSED_CACHE:
         _FUSED_CACHE[key] = _make_fused(float(radius), int(nsample),
-                                        not fast)
+                                        not fast, structure)
     return _FUSED_CACHE[key](xyz, new_xyz, src)

@@ -67,6 +67,97 @@ def _threenn_kernel(s_total: int, q_ref, src_ref, splane_ref, dist_out_ref,
     idx_out_ref[0, :, :] = iacc
 
 
+def _threenn_kernel_t(s_total: int, qplane_ref, src_ref, dist_out_ref,
+                      idx_out_ref, dist_ref):
+    """Transposed peel: candidates on SUBLANES, queries on lanes.
+
+    The row-major kernel above reduces the peel mins across the LANE axis
+    (S candidates on lanes) — cross-lane reductions are the VPU's slow
+    direction and measured ~10% of ceiling (benchmarks/RESULTS.md
+    roofline). Here cand is [S, N_t]: each peel reduces across sublanes
+    (chained vector mins over S/8 vregs), the same orientation that puts
+    the ball-query peel at ~40% of ceiling. Distances are built DIRECTLY
+    on the VPU as dx^2+dy^2+dz^2 (the ball-query kernel's form): the MXU
+    ||q||^2+||s||^2-2q.s expansion pads its depth-3 contraction to 128 —
+    a 42x FLOP inflation that measured 0.33 ms of fp1's 1.93 ms. The
+    direct form is the more accurate one but rounds differently from the
+    XLA path's expansion, so near-tie neighbor picks can flip (~4e-5 of
+    indices at fp1 scale, all verified distance-ties; RESULTS.md) —
+    TUMSEG_OPS_IMPL=xla stays the bit-exact path, and the row kernel
+    above keeps the expansion form as the in-repo bit-reference.
+    Outputs land as [B, 3, N] planes, transposed outside the kernel.
+    """
+    N_t = qplane_ref.shape[2]
+    S = src_ref.shape[1]
+    rows = lax.broadcasted_iota(jnp.int32, (S, N_t), dimension=0)
+    krow3 = lax.broadcasted_iota(jnp.int32, (3, N_t), dimension=0)
+
+    s = src_ref[0, :, :]                                 # [S, 3]
+    sx = s[:, 0][:, None]                                # [S, 1]
+    sy = s[:, 1][:, None]
+    sz = s[:, 2][:, None]
+    qx = qplane_ref[0, 0, :][None, :]                    # [1, N_t]
+    qy = qplane_ref[0, 1, :][None, :]
+    qz = qplane_ref[0, 2, :][None, :]
+    dx = sx - qx
+    dy = sy - qy
+    dz = sz - qz
+    dist_ref[:, :] = dx * dx + dy * dy + dz * dz         # [S, N_t]
+    cand = dist_ref[:, :]
+
+    dacc = jnp.zeros((3, N_t), dtype=jnp.float32)
+    iacc = jnp.zeros((3, N_t), dtype=jnp.int32)
+    for k in range(3):
+        minv = jnp.min(cand, axis=0, keepdims=True)      # [1, N_t]
+        mi = jnp.min(jnp.where(cand == minv, rows, s_total), axis=0,
+                     keepdims=True)
+        dacc = dacc + jnp.where(krow3 == k, minv, 0.0)
+        iacc = iacc + jnp.where(krow3 == k, mi, 0)
+        if k < 2:
+            cand = jnp.where(rows == mi, _BIG, cand)
+
+    dist_out_ref[0, :, :] = dacc
+    idx_out_ref[0, :, :] = iacc
+
+
+def _three_nn_impl_t(xyz1: jnp.ndarray, xyz2: jnp.ndarray):
+    B, N, _ = xyz1.shape
+    S = xyz2.shape[1]
+    n_tile = min(_DEFAULT_N_TILE, N)
+    if N % n_tile != 0:
+        n_tile = N
+
+    queries = xyz1.astype(jnp.float32)
+    sources = xyz2.astype(jnp.float32)
+    qplanes = jnp.transpose(queries, (0, 2, 1))          # [B, 3, N]
+
+    grid = (B, N // n_tile)
+    kernel = functools.partial(_threenn_kernel_t, S)
+    dists, idx = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, 3, n_tile), lambda i, j: (i, 0, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, S, 3), lambda i, j: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((1, 3, n_tile), lambda i, j: (i, 0, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 3, n_tile), lambda i, j: (i, 0, j),
+                         memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((B, 3, N), jnp.float32),
+            jax.ShapeDtypeStruct((B, 3, N), jnp.int32),
+        ),
+        scratch_shapes=[pltpu.VMEM((S, n_tile), jnp.float32)],
+    )(qplanes, sources)
+    return (jnp.transpose(dists, (0, 2, 1)),
+            jnp.transpose(idx, (0, 2, 1)))
+
+
 def _three_nn_impl(xyz1: jnp.ndarray, xyz2: jnp.ndarray):
     B, N, _ = xyz1.shape
     S = xyz2.shape[1]
@@ -261,12 +352,17 @@ def _three_nn_windowed_impl(xyz1, xyz2, window: int, n_tile: int):
 
 @jax.custom_vjp
 def three_nn(xyz1: jnp.ndarray, xyz2: jnp.ndarray):
-    """xyz1 [B, N, 3], xyz2 [B, S, 3] -> (dists [B, N, 3], idx [B, N, 3])."""
-    return _three_nn_impl(xyz1, xyz2)
+    """xyz1 [B, N, 3], xyz2 [B, S, 3] -> (dists [B, N, 3], idx [B, N, 3]).
+
+    Dispatches the transposed direct-build kernel (fp1: 1.60 ms vs the
+    row/expansion kernel's 2.26 — RESULTS.md round 3); the row kernel
+    stays available as `_three_nn_impl` (expansion form, bit-reference).
+    """
+    return _three_nn_impl_t(xyz1, xyz2)
 
 
 def _three_nn_fwd(xyz1, xyz2):
-    return _three_nn_impl(xyz1, xyz2), (xyz1, xyz2)
+    return _three_nn_impl_t(xyz1, xyz2), (xyz1, xyz2)
 
 
 def _three_nn_bwd(res, g):
