@@ -444,3 +444,33 @@ def test_threenn_transposed_matches_row():
         np.testing.assert_allclose(td, rd, atol=2e-6)
         if mism.any():
             assert np.max(np.abs(td[mism] - rd[mism])) < 2e-6
+
+
+def test_ballquery_transposed_matches_row():
+    """The transposed-peel full kernel (candidates on sublanes, dispatched
+    at N <= 1024) and the transposed windowed kernel must reproduce the
+    row kernels bit-for-bit — same direct distance build, same peel math,
+    only the tile orientation differs."""
+    import tumseg.ops.pallas.ballquery as bq
+
+    rng = np.random.default_rng(23)
+    for B, N, S, K, rad in [(2, 256, 128, 8, 0.3), (1, 512, 256, 16, 0.2),
+                            (2, 128, 64, 32, 0.05)]:
+        xyz = jnp.asarray(rng.random((B, N, 3)), jnp.float32)
+        q = xyz[:, :S, :]
+        a = np.asarray(bq.query_ball_point(rad, K, xyz, q))
+        b = np.asarray(bq.query_ball_point_t(rad, K, xyz, q))
+        np.testing.assert_array_equal(b, a)
+    # windowed: both structures vs the full kernel
+    xyz = jnp.asarray(rng.random((2, 512, 3)), jnp.float32)
+    q = xyz[:, :256, :]
+    full = np.asarray(bq.query_ball_point(0.25, 8, xyz, q))
+    prev = bq._WINDOW_TRANSPOSED
+    try:
+        for flag in (True, False):
+            bq._WINDOW_TRANSPOSED = flag
+            got = np.asarray(bq.query_ball_point_windowed.__wrapped__(
+                0.25, 8, xyz, q, (128, 256), 128))
+            np.testing.assert_array_equal(got, full)
+    finally:
+        bq._WINDOW_TRANSPOSED = prev

@@ -74,6 +74,13 @@ def query_ball_point(radius, nsample, xyz, new_xyz):
                 return query_ball_point_windowed(
                     radius, nsample, xyz, new_xyz,
                     (_bq_window_tight(N), _bq_window(N), N // 2))
+            if N <= 1024:
+                # transposed peel (candidates on sublanes) wins at sa2-like
+                # shapes (0.849 vs 0.915 ms at B32 N1024 S256; /tmp/bq_t
+                # round-3 A/B) and loses at N=4096 where the 512-vreg
+                # sublane chain outweighs the cross-lane mins it removes
+                from tumseg.ops.pallas.ballquery import query_ball_point_t
+                return query_ball_point_t(radius, nsample, xyz, new_xyz)
             return _pallas().query_ball_point(radius, nsample, xyz, new_xyz)
         except NotImplementedError:
             pass

@@ -99,6 +99,80 @@ def query_ball_point(radius: float, nsample: int, xyz: jnp.ndarray,
     )(planes, queries)
 
 
+def _ballquery_kernel_t(radius: float, nsample: int, n_total: int,
+                        xyz_ref, qplane_ref, out_ref):
+    """Transposed peel: candidates on SUBLANES, queries on lanes.
+
+    The row kernel above peels `jnp.min(cand, axis=1)` across the LANE
+    axis (N candidates on lanes) — K=32 cross-lane reductions per tile,
+    the VPU's slow direction (the same pathology the transposed 3-NN
+    kernel removed, threenn.py). Here masked is [N, S_t]; each peel
+    reduces across sublanes. Output lands as [B, nsample, S] planes and
+    is transposed outside. Semantics identical to the row kernel."""
+    N = xyz_ref.shape[1]
+    S_t = qplane_ref.shape[2]
+    rows = lax.broadcasted_iota(jnp.int32, (N, S_t), dimension=0)
+    krow = lax.broadcasted_iota(jnp.int32, (nsample, S_t), dimension=0)
+
+    s = xyz_ref[0, :, :]                                  # [N, 3]
+    sx = s[:, 0][:, None]
+    sy = s[:, 1][:, None]
+    sz = s[:, 2][:, None]
+    qx = qplane_ref[0, 0, :][None, :]                     # [1, S_t]
+    qy = qplane_ref[0, 1, :][None, :]
+    qz = qplane_ref[0, 2, :][None, :]
+    dx = sx - qx
+    dy = sy - qy
+    dz = sz - qz
+    d = dx * dx + dy * dy + dz * dz                       # [N, S_t]
+    masked = jnp.where(d <= radius * radius, rows, n_total)
+
+    acc = jnp.zeros((nsample, S_t), dtype=jnp.int32)
+    last = jnp.full((1, S_t), -1, dtype=jnp.int32)
+    first = jnp.zeros((1, S_t), dtype=jnp.int32)
+    for k in range(nsample):
+        cand = jnp.where(masked > last, masked, n_total)
+        cur = jnp.min(cand, axis=0, keepdims=True)        # [1, S_t]
+        if k == 0:
+            first = cur
+        filled = jnp.where(cur == n_total, first, cur)
+        acc = acc + jnp.where(krow == k, filled, 0)
+        last = cur
+    out_ref[0, :, :] = acc
+
+
+@functools.partial(jax.jit, static_argnums=(0, 1, 4))
+def query_ball_point_t(radius: float, nsample: int, xyz: jnp.ndarray,
+                       new_xyz: jnp.ndarray,
+                       s_tile: int = 128) -> jnp.ndarray:
+    """Transposed-peel query_ball_point (same contract as the row form)."""
+    B, N, _ = xyz.shape
+    S = new_xyz.shape[1]
+    s_tile = min(s_tile, S)
+    if S % s_tile != 0:
+        s_tile = S
+
+    rowsxyz = xyz.astype(jnp.float32)                     # [B, N, 3]
+    qplanes = jnp.transpose(new_xyz.astype(jnp.float32), (0, 2, 1))
+
+    grid = (B, S // s_tile)
+    kernel = functools.partial(_ballquery_kernel_t, float(radius), nsample, N)
+    out = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, N, 3), lambda i, j: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 3, s_tile), lambda i, j: (i, 0, j),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, nsample, s_tile), lambda i, j: (i, 0, j),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B, nsample, S), jnp.int32),
+    )(rowsxyz, qplanes)
+    return jnp.transpose(out, (0, 2, 1))
+
+
 # ---------------------------------------------------------------------------
 # z-window pruned variant
 # ---------------------------------------------------------------------------
@@ -121,6 +195,9 @@ def query_ball_point(radius: float, nsample: int, xyz: jnp.ndarray,
 # is a pure optimization, never a semantics change.
 
 _WINDOW_S_TILE = 128
+# transposed-peel windowed kernel (candidates on sublanes); flipped by the
+# on-device A/B in benchmarks — semantics identical either way
+_WINDOW_TRANSPOSED = True
 
 
 def _ballquery_window_kernel(radius: float, nsample: int, n_total: int,
@@ -152,6 +229,47 @@ def _ballquery_window_kernel(radius: float, nsample: int, n_total: int,
             first = cur
         filled = jnp.where(cur == n_total, first, cur)
         acc = acc + jnp.where(kcol == k, filled, 0)
+        last = cur
+    out_ref[0, :, :] = acc
+
+
+def _ballquery_window_kernel_t(radius: float, nsample: int, n_total: int,
+                               c_window: int, start_ref, srcs_ref, occol_ref,
+                               qplane_ref, out_ref):
+    """Transposed-peel windowed kernel: the C-candidate window lives on
+    SUBLANES (dynamic 128-aligned row slice), queries on lanes, so the
+    K peel minima reduce in the VPU's fast direction — same move as
+    _ballquery_kernel_t / the transposed 3-NN kernel."""
+    S_t = qplane_ref.shape[2]
+    krow = lax.broadcasted_iota(jnp.int32, (nsample, S_t), dimension=0)
+
+    start = pl.multiple_of(start_ref[pl.program_id(0), pl.program_id(1)], 128)
+    s = srcs_ref[0, pl.ds(start, c_window), :]            # [C, 3]
+    sx = s[:, 0][:, None]
+    sy = s[:, 1][:, None]
+    sz = s[:, 2][:, None]
+    oc = occol_ref[0, pl.ds(start, c_window), :]          # [C, 1] orig idx
+
+    qx = qplane_ref[0, 0, :][None, :]                     # [1, S_t]
+    qy = qplane_ref[0, 1, :][None, :]
+    qz = qplane_ref[0, 2, :][None, :]
+    dx = sx - qx
+    dy = sy - qy
+    dz = sz - qz
+    d = dx * dx + dy * dy + dz * dz                       # [C, S_t]
+    masked = jnp.where(d <= radius * radius,
+                       jnp.broadcast_to(oc, (c_window, S_t)), n_total)
+
+    acc = jnp.zeros((nsample, S_t), dtype=jnp.int32)
+    last = jnp.full((1, S_t), -1, dtype=jnp.int32)
+    first = jnp.zeros((1, S_t), dtype=jnp.int32)
+    for k in range(nsample):
+        cand = jnp.where(masked > last, masked, n_total)
+        cur = jnp.min(cand, axis=0, keepdims=True)
+        if k == 0:
+            first = cur
+        filled = jnp.where(cur == n_total, first, cur)
+        acc = acc + jnp.where(krow == k, filled, 0)
         last = cur
     out_ref[0, :, :] = acc
 
@@ -240,25 +358,49 @@ def query_ball_point_windowed(radius: float, nsample: int, xyz: jnp.ndarray,
 
     def _windowed(C, start):
         grid = (B, T)
-        kernel = functools.partial(_ballquery_window_kernel, float(radius),
-                                   nsample, N, C)
-        out_sorted = pl.pallas_call(
-            kernel,
-            grid=grid,
-            in_specs=[
-                pl.BlockSpec(memory_space=pltpu.SMEM),  # full [B, T] starts
-                pl.BlockSpec((1, 3, N), lambda i, j: (i, 0, 0),
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, 1, N), lambda i, j: (i, 0, 0),
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, s_tile, 3), lambda i, j: (i, j, 0),
-                             memory_space=pltpu.VMEM),
-            ],
-            out_specs=pl.BlockSpec((1, s_tile, nsample),
-                                   lambda i, j: (i, j, 0),
-                                   memory_space=pltpu.VMEM),
-            out_shape=jax.ShapeDtypeStruct((B, S, nsample), jnp.int32),
-        )(start, planes, order[:, None, :], q_sorted)
+        if _WINDOW_TRANSPOSED:
+            kernel = functools.partial(_ballquery_window_kernel_t,
+                                       float(radius), nsample, N, C)
+            srcs_rows = jnp.stack([xs, ys, zs], axis=-1)  # [B, N, 3] sorted
+            qplanes = jnp.stack([qxs, qys, qzs], axis=1)  # [B, 3, S] sorted
+            out_t = pl.pallas_call(
+                kernel,
+                grid=grid,
+                in_specs=[
+                    pl.BlockSpec(memory_space=pltpu.SMEM),  # [B, T] starts
+                    pl.BlockSpec((1, N, 3), lambda i, j: (i, 0, 0),
+                                 memory_space=pltpu.VMEM),
+                    pl.BlockSpec((1, N, 1), lambda i, j: (i, 0, 0),
+                                 memory_space=pltpu.VMEM),
+                    pl.BlockSpec((1, 3, s_tile), lambda i, j: (i, 0, j),
+                                 memory_space=pltpu.VMEM),
+                ],
+                out_specs=pl.BlockSpec((1, nsample, s_tile),
+                                       lambda i, j: (i, 0, j),
+                                       memory_space=pltpu.VMEM),
+                out_shape=jax.ShapeDtypeStruct((B, nsample, S), jnp.int32),
+            )(start, srcs_rows, order[:, :, None], qplanes)
+            out_sorted = jnp.transpose(out_t, (0, 2, 1))
+        else:
+            kernel = functools.partial(_ballquery_window_kernel,
+                                       float(radius), nsample, N, C)
+            out_sorted = pl.pallas_call(
+                kernel,
+                grid=grid,
+                in_specs=[
+                    pl.BlockSpec(memory_space=pltpu.SMEM),  # [B, T] starts
+                    pl.BlockSpec((1, 3, N), lambda i, j: (i, 0, 0),
+                                 memory_space=pltpu.VMEM),
+                    pl.BlockSpec((1, 1, N), lambda i, j: (i, 0, 0),
+                                 memory_space=pltpu.VMEM),
+                    pl.BlockSpec((1, s_tile, 3), lambda i, j: (i, j, 0),
+                                 memory_space=pltpu.VMEM),
+                ],
+                out_specs=pl.BlockSpec((1, s_tile, nsample),
+                                       lambda i, j: (i, j, 0),
+                                       memory_space=pltpu.VMEM),
+                out_shape=jax.ShapeDtypeStruct((B, S, nsample), jnp.int32),
+            )(start, planes, order[:, None, :], q_sorted)
         return _unpermute_rows_int(out_sorted, inv)
 
     def _full(_):
