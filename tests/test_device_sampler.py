@@ -201,3 +201,27 @@ def test_center_distribution_matches_host():
     h_dev = np.bincount(lab_dev.reshape(-1), minlength=8) / lab_dev.size
     h_host = np.bincount(host_lab.reshape(-1), minlength=8) / host_lab.size
     np.testing.assert_allclose(h_dev, h_host, atol=0.04)
+
+
+def test_sparse_room_cap_floor():
+    """A room whose densest 0.6 m bin holds far fewer than num_point/9
+    points must still sample (cap is floored so the 9*cap candidate pool
+    covers a full without-replacement draw): previously `ranked[:P]`
+    silently clamped to 9*cap and the wor/wr where() shape-errored at
+    trace time."""
+    r = np.random.default_rng(3)
+    n = 1200
+    pts = np.stack([r.uniform(0, 2.0, n), r.uniform(0, 1.0, n),
+                    r.uniform(0, 2.0, n)], axis=1)
+    labels = (pts[:, 0] * 3).astype(np.int64) % 8
+    s = DeviceBlockSampler([pts], [labels], [[]], color_flags=[],
+                           num_point=4096, block_size=1.0,
+                           min_block_points=200)
+    assert 9 * s.cap >= 4096
+    bpts, blab = jax.tree_util.tree_map(
+        np.asarray,
+        s.sample_batch(jax.random.PRNGKey(0), jnp.zeros(2, jnp.int32)))
+    assert bpts.shape == (2, 4096, 6) and blab.shape == (2, 4096)
+    # draws are real points of the room (duplicated with replacement)
+    assert np.isfinite(bpts).all()
+    assert (blab >= 0).all() and (blab < 8).all()

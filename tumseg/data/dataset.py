@@ -367,8 +367,12 @@ class TestGridDataset:
         # overlapping stride cells (several bytes/point/overlap) and an
         # unbounded dict would grow with dataset size. Neighbour keys are
         # never evicted by each other, so the prefetch win is preserved.
+        # pop(, None): the prefetch thread and the main thread can both miss
+        # the memo for the same scene (few-vote scenes), both rebuild, and
+        # both compute the same stale list — a bare `del` would KeyError in
+        # whichever thread loses the race.
         for stale in [k for k in cache if abs(k - index) > 1]:
-            del cache[stale]
+            cache.pop(stale, None)
         return cells
 
     def grid_indices(self, index):

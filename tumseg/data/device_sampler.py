@@ -167,21 +167,28 @@ class DeviceBlockSampler:
             off += n
             bin_off += nbx * nby
 
+        # The WOR branch of sample() slices ranked[:num_point] from the
+        # 9*cap candidate pool — floor cap so 9*cap >= num_point even for
+        # sparse rooms (a sub-256-point densest bin with num_point=4096
+        # would otherwise shape-error at trace time).
+        cap = max(cap, -(-self.num_point // 9))
         self.cap = int(np.ceil(cap / _CAP_GRANULE) * _CAP_GRANULE)
         # payload padded by cap dump rows (xyz=+1e9: never inside any block,
         # never valid) so `bin_start + arange(cap)` cannot index off the end
         pad = np.full((self.cap, 3), 1e9, np.float32)
-        self._xyz = jnp.asarray(np.concatenate(xyz_parts + [pad]))
+        xyz_flat = np.concatenate(xyz_parts + [pad])
         # contiguous 1-D x/y planes for the candidate pass: bins are
         # contiguous payload ranges, so candidate coords come out of
         # dynamic_slice (coarse contiguous reads; measured 15.1 -> ~1 ms vs
         # element-granular jnp.take at this shape, benchmarks/sampler_probe.py)
-        xyz_flat = np.concatenate(xyz_parts + [pad])
         self._px = jnp.asarray(np.ascontiguousarray(xyz_flat[:, 0]))
         self._py = jnp.asarray(np.ascontiguousarray(xyz_flat[:, 1]))
-        # one packed row table [xyz | extras | label-as-f32] so featurize is
-        # a SINGLE row gather instead of three (labels < 2^24 are exact f32)
-        packed = [np.concatenate(xyz_parts + [pad])]
+        # one packed row table [xyz | extras | label-as-f32] — the ONLY full
+        # per-point device table (featurize is a single row gather; labels
+        # < 2^24 are exact f32). xyz/labels/extras views are properties over
+        # it rather than separate uploads: standalone copies would pin
+        # ~2.3x the HBM for the life of the run.
+        packed = [xyz_flat]
         if self.num_extra_features:
             packed.append(np.concatenate(
                 ext_parts + [np.zeros((self.cap, self.num_extra_features),
@@ -189,13 +196,6 @@ class DeviceBlockSampler:
         lab_np = np.concatenate(lab_parts + [np.zeros(self.cap, np.int32)])
         packed.append(lab_np.astype(np.float32)[:, None])
         self._packed = jnp.asarray(np.concatenate(packed, axis=1))
-        self._labels = jnp.asarray(np.concatenate(
-            lab_parts + [np.zeros(self.cap, np.int32)]))
-        if self.num_extra_features:
-            epad = np.zeros((self.cap, self.num_extra_features), np.float32)
-            self._extra = jnp.asarray(np.concatenate(ext_parts + [epad]))
-        else:
-            self._extra = jnp.zeros((self._xyz.shape[0], 0), jnp.float32)
         self._room_start = jnp.asarray(np.asarray(room_start, np.int32))
         self._room_count = jnp.asarray(np.asarray(room_count, np.int32))
         self._room_cmin = jnp.asarray(np.stack(room_cmin))
@@ -208,6 +208,21 @@ class DeviceBlockSampler:
         self._bin_count = jnp.asarray(
             np.concatenate(bin_count_all).astype(np.int32))
         self._bin_w = w
+
+    # xyz/labels/extras as VIEWS over the packed table (tests/probes use
+    # these; the hot path gathers packed rows directly). Kept as properties
+    # so they cost a fused slice at use sites, not a second HBM copy.
+    @property
+    def _xyz(self):
+        return self._packed[:, :3]
+
+    @property
+    def _extra(self):
+        return self._packed[:, 3:3 + self.num_extra_features]
+
+    @property
+    def _labels(self):
+        return self._packed[:, 3 + self.num_extra_features].astype(jnp.int32)
 
     @classmethod
     def from_dataset(cls, dataset, min_block_points: int = 1024

@@ -25,6 +25,7 @@ TPU-native differences:
 from __future__ import annotations
 
 import os
+import threading
 from functools import partial
 from typing import Dict
 
@@ -72,9 +73,9 @@ def _build_reblock_arrays(cells, block_points: int):
             np.concatenate(offsets, axis=0).astype(np.float32))
 
 
-@partial(jax.jit, static_argnums=(5, 6))
+@partial(jax.jit, static_argnums=(5,))
 def _reblock_on_device(key, flat_base, starts_pos, counts_pos, cell_rank,
-                       block_points: int, num_cells: int = 0):
+                       block_points: int, num_cells=None):
     """One vote's re-blocking entirely on device: fill shortfall slots with
     random in-cell candidates, then shuffle within each cell (a segmented
     sort keyed on the cell rank, random bits). Returns [NB, block_points]
@@ -83,8 +84,10 @@ def _reblock_on_device(key, flat_base, starts_pos, counts_pos, cell_rank,
     path draws without replacement when shortfall <= count — a distribution
     nuance on the duplicated padding points only).
 
-    ``num_cells`` is accepted (and cached alongside the grid tensors) for
-    callers that want it; a packed single-uint32-key variant of the shuffle
+    ``num_cells`` is accepted for callers that carry it (NOT static — as a
+    static argnum the raw per-scene cell count would defeat the
+    compile-sharing buckets with a retrace per scene); a packed
+    single-uint32-key variant of the shuffle
     sort was MEASURED A WASH — 55.6 vs 56.9 ms at L=4.45M
     (benchmarks/serve_probe4.py): the sort cost is the L-element data
     movement, not the key count — so the exact two-key shuffle is always
@@ -145,6 +148,7 @@ class InferenceRunner:
         self._scene_cache = {}
         self._grid_cache = {}
         self._vote_fn_cache = {}
+        self._cache_lock = threading.Lock()
 
         def forward(variables, points):
             logp, _, _ = model.apply(variables, points, training=False,
@@ -242,18 +246,42 @@ class InferenceRunner:
         the one being voted and the one ``prefetch_scene`` uploads while
         the device scans (run_testing overlaps scene N+1's host gridding
         AND device uploads with scene N's votes); older entries evict so
-        a long dataset never pins every scene's tensors in HBM."""
+        a long dataset never pins every scene's tensors in HBM.
+
+        Thread-safe against the prefetch thread: entries are
+        ``[src, value, done_event]`` claimed under a lock, so two threads
+        missing the same scene build it ONCE (the loser waits on the event
+        instead of re-paying the gridding + tunnel upload), and eviction
+        only removes COMPLETED entries in insertion (oldest-first) order —
+        an in-progress prefetch can't be dropped or double-popped."""
         key = (id(dataset), scene_idx)
         src = dataset.scene_points_list[scene_idx]
-        hit = cache.get(key)
-        if hit is None or hit[0] is not src:
-            value = build()
-            cache.pop(key, None)
-            cache[key] = (src, value)
-            while len(cache) > 2:
-                cache.pop(next(iter(cache)))
-            return value
-        return hit[1]
+        with self._cache_lock:
+            entry = cache.get(key)
+            owner = entry is None or entry[0] is not src
+            if owner:
+                entry = [src, None, threading.Event()]
+                cache.pop(key, None)
+                cache[key] = entry
+                done = [k for k in cache
+                        if k != key and cache[k][2].is_set()]
+                while len(cache) > 2 and done:
+                    cache.pop(done.pop(0), None)
+        if owner:
+            try:
+                entry[1] = build()
+            finally:
+                entry[2].set()
+            return entry[1]
+        entry[2].wait()
+        if entry[1] is None:
+            # the owning thread's build raised; rebuild uncached so the
+            # failure surfaces in THIS thread too rather than a None deref
+            with self._cache_lock:
+                if cache.get(key) is entry:
+                    cache.pop(key, None)
+            return build()
+        return entry[1]
 
     @staticmethod
     def _scene_bucket(n: int) -> int:
