@@ -383,3 +383,57 @@ def test_grid_structure_cache_identity_and_invalidation():
     # replacing the scene array invalidates the cache
     ds.scene_points_list[0] = ds.scene_points_list[0].copy()
     assert ds.grid_structure(0) is not c1
+
+
+def test_runner_cache_concurrent_single_build():
+    """_cached under concurrency: many threads missing the same scene must
+    produce ONE build (losers wait on the owner's event), bounded eviction
+    must never drop an in-progress entry, and a failed build must surface
+    in every thread rather than a None deref."""
+    import threading
+
+    from tumseg import models
+    from tumseg.infer.voting import InferenceRunner
+
+    ds = _tiny_scene()
+    model = models.get_module("pointnet_sem_seg")
+    variables = model.init(jax.random.PRNGKey(0), 8, 0)
+    runner = InferenceRunner(model, variables, num_classes=8, batch_size=4)
+
+    builds = []
+    gate = threading.Event()
+
+    def build():
+        builds.append(1)
+        gate.wait(5.0)  # hold the build so every thread piles up on it
+        return "value"
+
+    results, errors = [], []
+
+    def worker():
+        try:
+            results.append(
+                runner._cached(runner._scene_cache, ds, 0, build))
+        except Exception as e:  # pragma: no cover - failure diagnostics
+            errors.append(e)
+
+    threads = [threading.Thread(target=worker) for _ in range(6)]
+    for t in threads:
+        t.start()
+    gate.set()
+    for t in threads:
+        t.join(10.0)
+    assert not errors
+    assert results == ["value"] * 6
+    assert len(builds) == 1  # one build despite 6 concurrent misses
+
+    # a failing build must raise in the waiter too, then allow a rebuild
+    runner._scene_cache.clear()
+
+    def bad_build():
+        raise RuntimeError("boom")
+
+    with pytest.raises(RuntimeError):
+        runner._cached(runner._scene_cache, ds, 0, bad_build)
+    # the poisoned entry must not satisfy later lookups
+    assert runner._cached(runner._scene_cache, ds, 0, lambda: 7) == 7
