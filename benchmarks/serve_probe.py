@@ -51,7 +51,7 @@ def main():
         runner.infer_scene(ds, 0, num_votes=1)
 
         (flat_base, starts_pos, counts_pos, cell_rank, offsets_pad,
-         nb, nb_pad, nc) = runner._grid_tensors(ds, 0)
+         nb, nb_pad, nc, segments) = runner._grid_tensors(ds, 0)
         sx, se, cm, cmask = runner._scene_tensors(ds, 0)
         n_pad = int(sx.shape[0])
         vote_fn = runner._vote_scan_fn(1.0, int(se.shape[1]))
@@ -59,12 +59,13 @@ def main():
         # reblock alone (10 dispatches, one fence)
         k = jax.random.PRNGKey(7)
         idx = _reblock_on_device(k, flat_base, starts_pos, counts_pos,
-                                 cell_rank, 4096)
+                                 cell_rank, 4096, segments)
         fence(idx)
         t0 = time.perf_counter()
         for i in range(10):
             idx = _reblock_on_device(jax.random.fold_in(k, i), flat_base,
-                                     starts_pos, counts_pos, cell_rank, 4096)
+                                     starts_pos, counts_pos, cell_rank,
+                                     4096, segments)
         fence(idx)
         reblock_ms = (time.perf_counter() - t0) / 10 * 1e3
 

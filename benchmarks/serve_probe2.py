@@ -48,7 +48,7 @@ def main():
     runner.infer_scene(ds, 0, num_votes=1)  # warm
 
     (flat_base, starts_pos, counts_pos, cell_rank, offsets_pad,
-     nb, nb_pad, nc) = runner._grid_tensors(ds, 0)
+     nb, nb_pad, nc, segments) = runner._grid_tensors(ds, 0)
     labels = jnp.asarray(ds.semantic_labels_list[0].astype(np.int32))
     lw = jnp.asarray(ds.labelweights)
     sx, se, cm, cmask = runner._scene_tensors(ds, 0)
@@ -56,7 +56,7 @@ def main():
     bs = 32
 
     idx = _reblock_on_device(jax.random.PRNGKey(7), flat_base, starts_pos,
-                             counts_pos, cell_rank, 4096)
+                             counts_pos, cell_rank, 4096, segments)
     n_pad = int(sx.shape[0])
     idxp = jnp.pad(idx, ((0, nb_pad - nb), (0, 0)), constant_values=n_pad)
 

@@ -68,7 +68,7 @@ def main():
                              device_features=True, device_reblock=True)
 
     (flat_base, starts_pos, counts_pos, cell_rank, offsets_pad,
-     nb, nb_pad, nc) = runner._grid_tensors(ds, 0)
+     nb, nb_pad, nc, segments) = runner._grid_tensors(ds, 0)
     sx, se, cm, cmask = runner._scene_tensors(ds, 0)
     n_pad = int(sx.shape[0])
     fwd_feat = runner._forward_featurized_fn
@@ -82,7 +82,7 @@ def main():
     @jax.jit
     def reblock_only(key):
         return _reblock_on_device(key, flat_base, starts_pos, counts_pos,
-                                  cell_rank, 4096)
+                                  cell_rank, 4096, segments)
 
     out = reblock_only(jax.random.PRNGKey(0))
     fence(out)

@@ -51,20 +51,23 @@ def main():
                              device_features=True, device_reblock=True)
 
     (flat_base, starts_pos, counts_pos, cell_rank, offsets_pad,
-     nb, nb_pad, nc) = runner._grid_tensors(ds, 0)
+     nb, nb_pad, nc, segments) = runner._grid_tensors(ds, 0)
     sx, se, cm, cmask = runner._scene_tensors(ds, 0)
     n_pad = int(sx.shape[0])
     fwd_feat = runner._forward_featurized_fn
     bs, C = 32, 8
     print(json.dumps({"nb": nb, "nb_pad": nb_pad, "nc": nc}), flush=True)
 
-    # --- (a) exact two-key vs packed single-key shuffle sort ----------------
-    for name, ncells in [("reblock_sort_exact", 0),
-                         ("reblock_sort_packed", nc)]:
+    # --- (a) global composite-key sort vs per-cell-row segmented sorts ------
+    # (the packed single-key experiment this section originally measured was
+    # a wash and is reverted; the segmented minor-axis shuffle replaced the
+    # global sort as the production path in round 3)
+    for name, segs in [("reblock_sort_global", None),
+                       ("reblock_sort_segmented", segments)]:
         @jax.jit
-        def rb(key, ncells=ncells):
+        def rb(key, segs=segs):
             return _reblock_on_device(key, flat_base, starts_pos, counts_pos,
-                                      cell_rank, 4096, ncells)
+                                      cell_rank, 4096, segs)
 
         out = rb(jax.random.PRNGKey(0))
         fence(out)
@@ -76,7 +79,7 @@ def main():
             (time.perf_counter() - t0) / REPS * 1e3, 1)}), flush=True)
 
     idx = _reblock_on_device(jax.random.PRNGKey(7), flat_base, starts_pos,
-                             counts_pos, cell_rank, 4096, nc)
+                             counts_pos, cell_rank, 4096, segments)
     idxp = jnp.pad(idx, ((0, nb_pad - nb), (0, 0)), constant_values=n_pad)
     offs = offsets_pad
     nchunks = nb_pad // bs

@@ -226,7 +226,12 @@ def test_device_reblock_cell_membership_and_coverage():
 
     ds = _tiny_scene()
     cells = ds.grid_structure(0)
-    fb, st, ct, sz, _ = _build_reblock_arrays(cells, 256)
+    fb, st, ct, sz, _, segments, order = _build_reblock_arrays(cells, 256)
+    # the grouped layout is a permutation of the cells, grouped by block
+    # count (ascending), every cell present exactly once
+    assert sorted(order.tolist()) == list(range(len(cells)))
+    assert sum(n for _, n in segments) == len(cells)
+    assert [k for k, _ in segments] == sorted({k for k, _ in segments})
     L = fb.shape[0]
     jsz = jnp.asarray(sz)
     starts_pos = jnp.repeat(jnp.asarray(st), jsz, total_repeat_length=L)
@@ -235,11 +240,17 @@ def test_device_reblock_cell_membership_and_coverage():
                            total_repeat_length=L)
     flat = np.asarray(_reblock_on_device(
         jax.random.PRNGKey(3), jnp.asarray(fb), starts_pos, counts_pos,
+        cell_rank, 256, segments)).reshape(-1)
+    # the global-sort fallback (segments=None) must produce the same
+    # per-cell membership (identical fills: same key stream)
+    flat_global = np.asarray(_reblock_on_device(
+        jax.random.PRNGKey(3), jnp.asarray(fb), starts_pos, counts_pos,
         cell_rank, 256)).reshape(-1)
 
     pos = 0
-    for (cand, _, _), s in zip(cells, sz):
+    for (cand, _, _), s in zip([cells[i] for i in order], sz):
         region = set(flat[pos:pos + s].tolist())
+        assert region == set(flat_global[pos:pos + s].tolist())
         pos += s
         cs = set(cand.tolist())
         assert region <= cs      # fills only draw in-cell candidates
@@ -247,7 +258,7 @@ def test_device_reblock_cell_membership_and_coverage():
     # deterministic given the key
     flat2 = np.asarray(_reblock_on_device(
         jax.random.PRNGKey(3), jnp.asarray(fb), starts_pos, counts_pos,
-        cell_rank, 256)).reshape(-1)
+        cell_rank, 256, segments)).reshape(-1)
     np.testing.assert_array_equal(flat, flat2)
 
 

@@ -54,44 +54,74 @@ def _build_reblock_arrays(cells, block_points: int):
     cell's candidates padded to a block_points multiple (zeros in the
     shortfall slots, replaced on device by random in-cell picks). Region
     layout is static per scene, so after the in-cell shuffle the flat
-    sequence reshapes straight into [NB, block_points] blocks."""
+    sequence reshapes straight into [NB, block_points] blocks.
+
+    Cells are laid out GROUPED BY BLOCK COUNT (stable within a group) so
+    the in-cell shuffle can run as per-group [n_cells, k*block_points]
+    minor-axis sorts instead of one global composite-key sort — 6.7 vs
+    25.3 ms at the 1M-pt facade's real shape (273 cells x 4 blocks;
+    /tmp/sort_probe2, 2026-08-17). Block order is irrelevant to voting
+    (the vote pool is a per-point scatter-add over all real blocks).
+    Returns (..., segments, order): ``segments`` is a tuple of
+    (blocks_per_cell, n_cells) runs describing the grouped layout;
+    ``order`` maps layout position -> index into ``cells``."""
+    nb_per_cell = [int(np.ceil(max(int(c[0].size), 1) / block_points))
+                   for c in cells]
+    order = sorted(range(len(cells)), key=lambda i: nb_per_cell[i])
+    segments = []
+    for i in order:
+        k = nb_per_cell[i]
+        if segments and segments[-1][0] == k:
+            segments[-1][1] += 1
+        else:
+            segments.append([k, 1])
+    segments = tuple((k, n) for k, n in segments)
+
     sizes, counts, base_parts, offsets = [], [], [], []
-    for point_idxs, s_x, s_y in cells:
+    for i in order:
+        point_idxs, s_x, s_y = cells[i]
         n = int(point_idxs.size)
-        num_batch = int(np.ceil(n / block_points))
-        ps = num_batch * block_points
+        ps = nb_per_cell[i] * block_points
         buf = np.zeros(ps, np.int32)
         buf[:n] = point_idxs
         base_parts.append(buf)
         sizes.append(ps)
         counts.append(n)
-        offsets.append(np.repeat([[s_x, s_y]], num_batch, axis=0))
+        offsets.append(np.repeat([[s_x, s_y]], nb_per_cell[i], axis=0))
     flat_base = np.concatenate(base_parts).astype(np.int32)
     starts = np.concatenate([[0], np.cumsum(sizes)[:-1]]).astype(np.int32)
     return (flat_base, starts, np.asarray(counts, np.int32),
             np.asarray(sizes, np.int32),
-            np.concatenate(offsets, axis=0).astype(np.float32))
+            np.concatenate(offsets, axis=0).astype(np.float32),
+            segments, np.asarray(order, np.int64))
 
 
-@partial(jax.jit, static_argnums=(5,))
+@partial(jax.jit, static_argnums=(5, 6))
 def _reblock_on_device(key, flat_base, starts_pos, counts_pos, cell_rank,
-                       block_points: int, num_cells=None):
+                       block_points: int, segments=None, num_cells=None):
     """One vote's re-blocking entirely on device: fill shortfall slots with
-    random in-cell candidates, then shuffle within each cell (a segmented
-    sort keyed on the cell rank, random bits). Returns [NB, block_points]
-    int32. Replicates grid_indices' sampling semantics with jax.random
-    instead of the host Generator (fills draw with replacement; the host
-    path draws without replacement when shortfall <= count — a distribution
-    nuance on the duplicated padding points only).
+    random in-cell candidates, then shuffle within each cell. Returns
+    [NB, block_points] int32. Replicates grid_indices' sampling semantics
+    with jax.random instead of the host Generator (fills draw with
+    replacement; the host path draws without replacement when shortfall <=
+    count — a distribution nuance on the duplicated padding points only).
+
+    The shuffle: with ``segments`` (the grouped layout from
+    _build_reblock_arrays — static: per-scene structure, like L itself),
+    each (blocks_per_cell k, n_cells) run reshapes to [n_cells,
+    k*block_points] and sorts random keys along the MINOR axis — one row
+    per cell, so the row sort IS the uniform in-cell shuffle. 6.7 vs
+    25.3 ms against the global composite-key sort at the 1M-pt facade
+    shape (rows stay VMEM-resident; the global variadic sort streams all
+    three L-element operands through every bitonic stage). Without
+    segments (older callers/probes), the global (cell_rank, rand, seq)
+    2-key sort is used — same distribution, slower. A packed
+    single-uint32-key variant of the global sort was MEASURED A WASH —
+    55.6 vs 56.9 ms at L=4.45M (benchmarks/serve_probe4.py).
 
     ``num_cells`` is accepted for callers that carry it (NOT static — as a
     static argnum the raw per-scene cell count would defeat the
-    compile-sharing buckets with a retrace per scene); a packed
-    single-uint32-key variant of the shuffle
-    sort was MEASURED A WASH — 55.6 vs 56.9 ms at L=4.45M
-    (benchmarks/serve_probe4.py): the sort cost is the L-element data
-    movement, not the key count — so the exact two-key shuffle is always
-    used and the distribution stays bias-free."""
+    compile-sharing buckets with a retrace per scene)."""
     del num_cells
     L = flat_base.shape[0]
     kf, ks = jax.random.split(key)
@@ -101,8 +131,20 @@ def _reblock_on_device(key, flat_base, starts_pos, counts_pos, cell_rank,
     pos_in_cell = jnp.arange(L, dtype=jnp.int32) - starts_pos
     seq = jnp.where(pos_in_cell >= counts_pos, fill_val, flat_base)
     rand_bits = jax.random.bits(ks, (L,), jnp.uint32)
-    _, _, shuffled = jax.lax.sort((cell_rank, rand_bits, seq),
-                                  dimension=0, num_keys=2)
+    if segments is not None:
+        parts = []
+        off = 0
+        for k_blocks, n_cells in segments:
+            m = k_blocks * block_points
+            rows = seq[off:off + n_cells * m].reshape(n_cells, m)
+            keys = rand_bits[off:off + n_cells * m].reshape(n_cells, m)
+            _, srt = jax.lax.sort((keys, rows), dimension=1, num_keys=1)
+            parts.append(srt.reshape(-1))
+            off += n_cells * m
+        shuffled = parts[0] if len(parts) == 1 else jnp.concatenate(parts)
+    else:
+        _, _, shuffled = jax.lax.sort((cell_rank, rand_bits, seq),
+                                      dimension=0, num_keys=2)
     return shuffled.reshape(-1, block_points)
 
 
@@ -335,8 +377,8 @@ class InferenceRunner:
         bottleneck after device featurization)."""
         def build():
             cells = dataset.grid_structure(scene_idx)
-            flat_base, starts, counts, sizes, offsets = _build_reblock_arrays(
-                cells, dataset.block_points)
+            (flat_base, starts, counts, sizes, offsets, segments,
+             _order) = _build_reblock_arrays(cells, dataset.block_points)
             L = flat_base.shape[0]
             nc = starts.shape[0]
             jsizes = jnp.asarray(sizes)
@@ -358,7 +400,8 @@ class InferenceRunner:
             offsets_pad = np.zeros((nb_pad, 2), np.float32)
             offsets_pad[:nb] = offsets
             return (jnp.asarray(flat_base), starts_pos, counts_pos,
-                    cell_rank, jnp.asarray(offsets_pad), nb, nb_pad, nc)
+                    cell_rank, jnp.asarray(offsets_pad), nb, nb_pad, nc,
+                    segments)
 
         return self._cached(self._grid_cache, dataset, scene_idx, build)
 
@@ -470,7 +513,7 @@ class InferenceRunner:
             dataset, scene_idx)
         n_pad = int(scene_xyz.shape[0])       # bucket-padded scene rows
         (flat_base, starts_pos, counts_pos, cell_rank, offsets_pad,
-         nb, nb_pad, nc) = self._grid_tensors(dataset, scene_idx)
+         nb, nb_pad, nc, segments) = self._grid_tensors(dataset, scene_idx)
         # dump row n_pad absorbs padded blocks' votes
         C = self.num_classes
         pool_flat = jnp.zeros(((n_pad + 1) * C,), jnp.float32)
@@ -485,7 +528,8 @@ class InferenceRunner:
         for vote in range(num_votes):
             k = jax.random.fold_in(scene_key, vote)
             idx_blocks = _reblock_on_device(k, flat_base, starts_pos,
-                                            counts_pos, cell_rank, bp, nc)
+                                            counts_pos, cell_rank, bp,
+                                            segments, nc)
             if nb_pad > nb:
                 idx_blocks = jnp.pad(idx_blocks, ((0, nb_pad - nb), (0, 0)),
                                      constant_values=n_pad)
