@@ -59,12 +59,12 @@ def main():
         # reblock alone (10 dispatches, one fence)
         k = jax.random.PRNGKey(7)
         idx = _reblock_on_device(k, flat_base, starts_pos, counts_pos,
-                                 cell_rank, 4096, segments)
+                                 None, 4096, segments)
         fence(idx)
         t0 = time.perf_counter()
         for i in range(10):
             idx = _reblock_on_device(jax.random.fold_in(k, i), flat_base,
-                                     starts_pos, counts_pos, cell_rank,
+                                     starts_pos, counts_pos, None,
                                      4096, segments)
         fence(idx)
         reblock_ms = (time.perf_counter() - t0) / 10 * 1e3

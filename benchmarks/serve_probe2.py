@@ -56,7 +56,7 @@ def main():
     bs = 32
 
     idx = _reblock_on_device(jax.random.PRNGKey(7), flat_base, starts_pos,
-                             counts_pos, cell_rank, 4096, segments)
+                             counts_pos, None, 4096, segments)
     n_pad = int(sx.shape[0])
     idxp = jnp.pad(idx, ((0, nb_pad - nb), (0, 0)), constant_values=n_pad)
 

@@ -82,7 +82,7 @@ def main():
     @jax.jit
     def reblock_only(key):
         return _reblock_on_device(key, flat_base, starts_pos, counts_pos,
-                                  cell_rank, 4096, segments)
+                                  None, 4096, segments)
 
     out = reblock_only(jax.random.PRNGKey(0))
     fence(out)

@@ -52,6 +52,9 @@ def main():
 
     (flat_base, starts_pos, counts_pos, cell_rank, offsets_pad,
      nb, nb_pad, nc, segments) = runner._grid_tensors(ds, 0)
+    # cell_rank is a HOST array in the cached tuple (only the global-sort
+    # fallback consumes it); upload once for the A/B
+    cell_rank = jnp.asarray(cell_rank)
     sx, se, cm, cmask = runner._scene_tensors(ds, 0)
     n_pad = int(sx.shape[0])
     fwd_feat = runner._forward_featurized_fn
@@ -62,12 +65,12 @@ def main():
     # (the packed single-key experiment this section originally measured was
     # a wash and is reverted; the segmented minor-axis shuffle replaced the
     # global sort as the production path in round 3)
-    for name, segs in [("reblock_sort_global", None),
-                       ("reblock_sort_segmented", segments)]:
+    for name, segs, crank in [("reblock_sort_global", None, cell_rank),
+                              ("reblock_sort_segmented", segments, None)]:
         @jax.jit
-        def rb(key, segs=segs):
+        def rb(key, segs=segs, crank=crank):
             return _reblock_on_device(key, flat_base, starts_pos, counts_pos,
-                                      cell_rank, 4096, segs)
+                                      crank, 4096, segs)
 
         out = rb(jax.random.PRNGKey(0))
         fence(out)
@@ -79,7 +82,7 @@ def main():
             (time.perf_counter() - t0) / REPS * 1e3, 1)}), flush=True)
 
     idx = _reblock_on_device(jax.random.PRNGKey(7), flat_base, starts_pos,
-                             counts_pos, cell_rank, 4096, segments)
+                             counts_pos, None, 4096, segments)
     idxp = jnp.pad(idx, ((0, nb_pad - nb), (0, 0)), constant_values=n_pad)
     offs = offsets_pad
     nchunks = nb_pad // bs

@@ -65,7 +65,11 @@ def _build_reblock_arrays(cells, block_points: int):
     Returns (..., segments, order): ``segments`` is a tuple of
     (blocks_per_cell, n_cells) runs describing the grouped layout;
     ``order`` maps layout position -> index into ``cells``."""
-    nb_per_cell = [int(np.ceil(max(int(c[0].size), 1) / block_points))
+    # grid_structure's contract: only non-empty cells are emitted — the
+    # fill path divides by count, so an empty cell must fail loudly here
+    # rather than silently vote foreign points
+    assert all(int(c[0].size) > 0 for c in cells), "empty grid cell"
+    nb_per_cell = [int(np.ceil(int(c[0].size) / block_points))
                    for c in cells]
     order = sorted(range(len(cells)), key=lambda i: nb_per_cell[i])
     segments = []
@@ -98,7 +102,7 @@ def _build_reblock_arrays(cells, block_points: int):
 
 @partial(jax.jit, static_argnums=(5, 6))
 def _reblock_on_device(key, flat_base, starts_pos, counts_pos, cell_rank,
-                       block_points: int, segments=None, num_cells=None):
+                       block_points: int, segments=None):
     """One vote's re-blocking entirely on device: fill shortfall slots with
     random in-cell candidates, then shuffle within each cell. Returns
     [NB, block_points] int32. Replicates grid_indices' sampling semantics
@@ -107,22 +111,22 @@ def _reblock_on_device(key, flat_base, starts_pos, counts_pos, cell_rank,
     count — a distribution nuance on the duplicated padding points only).
 
     The shuffle: with ``segments`` (the grouped layout from
-    _build_reblock_arrays — static: per-scene structure, like L itself),
-    each (blocks_per_cell k, n_cells) run reshapes to [n_cells,
-    k*block_points] and sorts random keys along the MINOR axis — one row
-    per cell, so the row sort IS the uniform in-cell shuffle. 6.7 vs
-    25.3 ms against the global composite-key sort at the 1M-pt facade
-    shape (rows stay VMEM-resident; the global variadic sort streams all
-    three L-element operands through every bitonic stage). Without
-    segments (older callers/probes), the global (cell_rank, rand, seq)
-    2-key sort is used — same distribution, slower. A packed
-    single-uint32-key variant of the global sort was MEASURED A WASH —
-    55.6 vs 56.9 ms at L=4.45M (benchmarks/serve_probe4.py).
+    _build_reblock_arrays), each (blocks_per_cell k, n_cells) run reshapes
+    to [n_cells, k*block_points] and sorts random keys along the MINOR
+    axis — one row per cell, so the row sort IS the uniform in-cell
+    shuffle. 6.7 vs 25.3 ms against the global composite-key sort at the
+    1M-pt facade shape (rows stay VMEM-resident; the global variadic sort
+    streams all three L-element operands through every bitonic stage).
+    ``cell_rank`` may then be None (only the fallback uses it). Without
+    segments, the global (cell_rank, rand, seq) 2-key sort is used — same
+    distribution, slower; a packed single-uint32-key variant of it was
+    MEASURED A WASH (55.6 vs 56.9 ms, benchmarks/serve_probe4.py).
 
-    ``num_cells`` is accepted for callers that carry it (NOT static — as a
-    static argnum the raw per-scene cell count would defeat the
-    compile-sharing buckets with a retrace per scene)."""
-    del num_cells
+    Compile-sharing note: ``segments`` is a static argnum, so two scenes
+    with equal flat length L but different cell-size structure retrace
+    this function — a deliberate trade: the jit already keys on L (the
+    flat arrays are not bucketed), this program is tiny next to the vote
+    scan, and the segmented sort saves ~11 ms on every vote."""
     L = flat_base.shape[0]
     kf, ks = jax.random.split(key)
     u = jax.random.uniform(kf, (L,), jnp.float32)
@@ -391,8 +395,12 @@ class InferenceRunner:
                                     total_repeat_length=L)
             counts_pos = jnp.repeat(jnp.asarray(counts), jsizes,
                                     total_repeat_length=L)
-            cell_rank = jnp.repeat(jnp.arange(nc, dtype=jnp.int32), jsizes,
-                                   total_repeat_length=L)
+            # HOST array: only the segments=None fallback of
+            # _reblock_on_device consumes cell_rank (probes A/B the global
+            # sort); the production path must not pin an extra [L] int32
+            # in HBM nor ship a dead operand every vote
+            cell_rank = np.repeat(np.arange(nc, dtype=np.int32),
+                                  np.asarray(sizes))
             nb = L // dataset.block_points
             bs = self.batch_size
             # bucket the padded block count to 4*bs chunks: the vote scan's
@@ -533,8 +541,7 @@ class InferenceRunner:
         for vote in range(num_votes):
             k = jax.random.fold_in(scene_key, vote)
             idx_blocks = _reblock_on_device(k, flat_base, starts_pos,
-                                            counts_pos, cell_rank, bp,
-                                            segments, nc)
+                                            counts_pos, None, bp, segments)
             if nb_pad > nb:
                 idx_blocks = jnp.pad(idx_blocks, ((0, nb_pad - nb), (0, 0)),
                                      constant_values=n_pad)
