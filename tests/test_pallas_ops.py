@@ -446,6 +446,34 @@ def test_threenn_transposed_matches_row():
             assert np.max(np.abs(td[mism] - rd[mism])) < 2e-6
 
 
+def test_ballquery_bitpacked_matches_row():
+    """The bit-packed-peel kernel (in-ball mask packed into int32 words,
+    K lowest-set-bit extractions instead of K masked-min reductions) must
+    reproduce the row kernel bit-for-bit — the distance build and fill
+    semantics are unchanged, only the peel representation differs."""
+    import tumseg.ops.pallas.ballquery as bq
+
+    rng = np.random.default_rng(29)
+    for B, N, S, K, rad in [(2, 256, 128, 8, 0.3), (1, 512, 256, 16, 0.2),
+                            (2, 128, 64, 32, 0.05), (1, 96, 40, 33, 0.9)]:
+        xyz = jnp.asarray(rng.random((B, N, 3)), jnp.float32)
+        q = xyz[:, :S, :]
+        a = np.asarray(bq.query_ball_point(rad, K, xyz, q))
+        b = np.asarray(bq.query_ball_point_bp(rad, K, xyz, q))
+        np.testing.assert_array_equal(b, a)
+    # empty-ball fill: all-sentinel rows, like the row kernel
+    xyz = jnp.asarray([[[0, 0, 0], [10, 10, 10], [10.05, 10, 10]]
+                       + [[5, 5, 5]] * 29], jnp.float32)
+    got = np.asarray(bq.query_ball_point_bp(0.2, 4, xyz, xyz[:, :1]))
+    np.testing.assert_array_equal(got[0, 0], [0, 0, 0, 0])
+    # N not a multiple of 32 falls back to the row kernel
+    xyz = jnp.asarray(rng.random((1, 100, 3)), jnp.float32)
+    q = xyz[:, :16, :]
+    np.testing.assert_array_equal(
+        np.asarray(bq.query_ball_point_bp(0.3, 8, xyz, q)),
+        np.asarray(bq.query_ball_point(0.3, 8, xyz, q)))
+
+
 def test_ballquery_transposed_matches_row():
     """The transposed-peel full kernel (candidates on sublanes, dispatched
     at N <= 1024) and the transposed windowed kernel must reproduce the

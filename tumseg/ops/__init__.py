@@ -61,6 +61,14 @@ def query_ball_point(radius, nsample, xyz, new_xyz):
     if _use_pallas() and xyz.shape[1] * new_xyz.shape[1] >= _BALLQUERY_PALLAS_MIN:
         try:
             N, S = xyz.shape[1], new_xyz.shape[1]
+            if _BQ_VARIANT == "bp" and N % 32 == 0:
+                # bit-packed peel (opt-in until measured on device): packs
+                # the in-ball mask into int32 words and peels lowest set
+                # bits — ~8*(N/32) VPU ops per peel step vs ~4*N for the
+                # masked-min peel. Bit-identical indices (same f32 distance
+                # build, same fill semantics; tests/test_pallas_ops.py).
+                from tumseg.ops.pallas.ballquery import query_ball_point_bp
+                return query_ball_point_bp(radius, nsample, xyz, new_xyz)
             if N >= _WINDOW_MIN_N and N % 128 == 0 and S >= 256:
                 # tiered z-window: smallest covering window wins on device,
                 # full-kernel fallback — never slower than the full kernel by
@@ -110,6 +118,19 @@ _BALLQUERY_PALLAS_MIN = 0         # N * S
 # window_enabled context — the serving path enables it (real-scan blocks).
 _WINDOW_MIN_N = 4096
 _WINDOW = os.environ.get("TUMSEG_OPS_WINDOW", "0") == "1"
+
+# Ball-query kernel variant: "auto" = tiered-window at N>=4096, transposed
+# peel at N<=1024 (the measured round-3 winners); "bp" = the bit-packed
+# peel kernel at every N % 32 == 0 shape (opt-in until device-measured).
+_BQ_VARIANT = os.environ.get("TUMSEG_OPS_BQ", "auto")
+
+
+def set_bq_variant(variant: str) -> None:
+    """Select the ball-query kernel family ("auto" | "bp")."""
+    global _BQ_VARIANT
+    if variant not in ("auto", "bp"):
+        raise ValueError(f"unknown ball-query variant {variant!r}")
+    _BQ_VARIANT = variant
 
 
 def set_window(enabled: bool) -> None:

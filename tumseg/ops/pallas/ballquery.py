@@ -174,6 +174,104 @@ def query_ball_point_t(radius: float, nsample: int, xyz: jnp.ndarray,
 
 
 # ---------------------------------------------------------------------------
+# bit-packed peel variant
+# ---------------------------------------------------------------------------
+#
+# The K-peel above costs ~4 VPU ops per candidate per k (mask-compare, min
+# reduction, one-hot select) — 4*N*K per query, the measured forward floor.
+# But the peel only consumes the BOOLEAN in-ball mask and candidate POSITIONS
+# (== original indices in the full kernel), so pack the mask into int32
+# words — bit (n % 32) of word (n // 32) — and peel set bits instead of
+# lanes: find the first nonzero word (min-iota over W = N/32 sublane rows),
+# take its lowest set bit (w & -w), convert the power of two to a bit
+# position, clear it, repeat. Each peel step touches W words instead of N
+# candidates: ~8*W ops per k, a ~16x peel cut. The distance build is
+# unchanged (f32, same rounding as the transposed kernel), so membership —
+# and therefore output indices — are bit-identical to _ballquery_kernel_t.
+
+
+def _ballquery_kernel_bp(radius: float, nsample: int, n_total: int,
+                         xyz_ref, qplane_ref, out_ref):
+    """Bit-packed peel: candidates on sublanes, queries on lanes."""
+    N = xyz_ref.shape[1]
+    S_t = qplane_ref.shape[2]
+    W = N // 32
+    rows = lax.broadcasted_iota(jnp.int32, (N, S_t), dimension=0)
+    wrow = lax.broadcasted_iota(jnp.int32, (W, S_t), dimension=0)
+    krow = lax.broadcasted_iota(jnp.int32, (nsample, S_t), dimension=0)
+
+    s = xyz_ref[0, :, :]                                  # [N, 3]
+    sx = s[:, 0][:, None]
+    sy = s[:, 1][:, None]
+    sz = s[:, 2][:, None]
+    qx = qplane_ref[0, 0, :][None, :]                     # [1, S_t]
+    qy = qplane_ref[0, 1, :][None, :]
+    qz = qplane_ref[0, 2, :][None, :]
+    dx = sx - qx
+    dy = sy - qy
+    dz = sz - qz
+    d = dx * dx + dy * dy + dz * dz                       # [N, S_t]
+    in_ball = (d <= radius * radius).astype(jnp.int32)
+
+    # pack: bit (n % 32) of word (n // 32); the reshape keeps the minor
+    # (lane) dim so Mosaic lays it out as a pure sublane regroup
+    shifted = in_ball << (rows % 32)
+    words = jnp.sum(shifted.reshape(W, 32, S_t), axis=1)  # [W, S_t]
+
+    acc = jnp.zeros((nsample, S_t), dtype=jnp.int32)
+    first = jnp.zeros((1, S_t), dtype=jnp.int32)
+    for k in range(nsample):  # static unroll: nsample is a model constant
+        nz = words != 0
+        wsel = jnp.min(jnp.where(nz, wrow, W), axis=0, keepdims=True)
+        onehot = wrow == wsel                             # [W, S_t]
+        wval = jnp.sum(jnp.where(onehot, words, 0), axis=0, keepdims=True)
+        lsb = wval & (0 - wval)                           # [1, S_t]
+        bitpos = lax.population_count(lsb - 1)            # lsb=2^j -> j
+        cur = jnp.where(wsel == W, n_total, wsel * 32 + bitpos)
+        if k == 0:
+            first = cur
+        filled = jnp.where(cur == n_total, first, cur)
+        acc = acc + jnp.where(krow == k, filled, 0)
+        words = words - jnp.where(onehot, lsb, 0)
+    out_ref[0, :, :] = acc
+
+
+@functools.partial(jax.jit, static_argnums=(0, 1, 4))
+def query_ball_point_bp(radius: float, nsample: int, xyz: jnp.ndarray,
+                        new_xyz: jnp.ndarray,
+                        s_tile: int = 128) -> jnp.ndarray:
+    """Bit-packed-peel query_ball_point (same contract as the row form)."""
+    B, N, _ = xyz.shape
+    S = new_xyz.shape[1]
+    s_tile = min(s_tile, S)
+    if S % s_tile != 0:
+        s_tile = S
+    if N % 32 != 0:
+        return query_ball_point(radius, nsample, xyz, new_xyz)
+
+    rowsxyz = xyz.astype(jnp.float32)                     # [B, N, 3]
+    qplanes = jnp.transpose(new_xyz.astype(jnp.float32), (0, 2, 1))
+
+    grid = (B, S // s_tile)
+    kernel = functools.partial(_ballquery_kernel_bp, float(radius), nsample,
+                               N)
+    out = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, N, 3), lambda i, j: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 3, s_tile), lambda i, j: (i, 0, j),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, nsample, s_tile), lambda i, j: (i, 0, j),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B, nsample, S), jnp.int32),
+    )(rowsxyz, qplanes)
+    return jnp.transpose(out, (0, 2, 1))
+
+
+# ---------------------------------------------------------------------------
 # z-window pruned variant
 # ---------------------------------------------------------------------------
 #
