@@ -68,9 +68,19 @@ def main():
         bench.run(f"bq_t {stage}",
                   lambda p, radius=radius, K=K, S=S: bq.query_ball_point_t(
                       radius, K, p, p[:, :S]), xyz)
-        bench.run(f"bq_bp {stage}",
-                  lambda p, radius=radius, K=K, S=S: bq.query_ball_point_bp(
-                      radius, K, p, p[:, :S]), xyz)
+        for st in (128, 256):
+            if S < st:
+                continue
+            bench.run(
+                f"bq_bp {stage} st{st}",
+                lambda p, radius=radius, K=K, S=S, st=st:
+                bq.query_ball_point_bp(radius, K, p, p[:, :S], st), xyz)
+            if N >= 1024:
+                bench.run(
+                    f"bq_bp2 {stage} st{st}",
+                    lambda p, radius=radius, K=K, S=S, st=st:
+                    bq.query_ball_point_bp(radius, K, p, p[:, :S], st, True),
+                    xyz)
         if stage == "sa1":
             bench.run(
                 f"bq_row {stage}",

@@ -472,6 +472,12 @@ def test_ballquery_bitpacked_matches_row():
     np.testing.assert_array_equal(
         np.asarray(bq.query_ball_point_bp(0.3, 8, xyz, q)),
         np.asarray(bq.query_ball_point(0.3, 8, xyz, q)))
+    # two-level (summary bitmap) variant, engaged at N >= 1024
+    xyz = jnp.asarray(rng.random((1, 1024, 3)), jnp.float32)
+    q = xyz[:, :32, :]
+    np.testing.assert_array_equal(
+        np.asarray(bq.query_ball_point_bp(0.12, 8, xyz, q, 128, True)),
+        np.asarray(bq.query_ball_point(0.12, 8, xyz, q)))
 
 
 def test_ballquery_transposed_matches_row():

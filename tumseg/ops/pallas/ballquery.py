@@ -191,8 +191,14 @@ def query_ball_point_t(radius: float, nsample: int, xyz: jnp.ndarray,
 
 
 def _ballquery_kernel_bp(radius: float, nsample: int, n_total: int,
+                         two_level: bool,
                          xyz_ref, qplane_ref, out_ref):
-    """Bit-packed peel: candidates on sublanes, queries on lanes."""
+    """Bit-packed peel: candidates on sublanes, queries on lanes.
+
+    ``two_level`` additionally maintains a summary bitmap (bit w of summary
+    word w//32 = "word w nonzero") so the first-nonzero-word search is a
+    lowest-set-bit extraction over W/32 summary rows instead of a min-iota
+    reduction over W word rows — ~5*W ops per peel step vs ~8*W."""
     N = xyz_ref.shape[1]
     S_t = qplane_ref.shape[2]
     W = N // 32
@@ -218,28 +224,58 @@ def _ballquery_kernel_bp(radius: float, nsample: int, n_total: int,
     shifted = in_ball << (rows % 32)
     words = jnp.sum(shifted.reshape(W, 32, S_t), axis=1)  # [W, S_t]
 
+    def _lsb_pos(v):
+        lsb = v & (0 - v)
+        return lsb, lax.population_count(lsb - 1)         # lsb=2^j -> j
+
     acc = jnp.zeros((nsample, S_t), dtype=jnp.int32)
     first = jnp.zeros((1, S_t), dtype=jnp.int32)
-    for k in range(nsample):  # static unroll: nsample is a model constant
-        nz = words != 0
-        wsel = jnp.min(jnp.where(nz, wrow, W), axis=0, keepdims=True)
-        onehot = wrow == wsel                             # [W, S_t]
-        wval = jnp.sum(jnp.where(onehot, words, 0), axis=0, keepdims=True)
-        lsb = wval & (0 - wval)                           # [1, S_t]
-        bitpos = lax.population_count(lsb - 1)            # lsb=2^j -> j
-        cur = jnp.where(wsel == W, n_total, wsel * 32 + bitpos)
-        if k == 0:
-            first = cur
-        filled = jnp.where(cur == n_total, first, cur)
-        acc = acc + jnp.where(krow == k, filled, 0)
-        words = words - jnp.where(onehot, lsb, 0)
+    if two_level and W % 32 == 0 and W >= 32:
+        Ws = W // 32
+        srow = lax.broadcasted_iota(jnp.int32, (Ws, S_t), dimension=0)
+        summ = jnp.sum(((words != 0).astype(jnp.int32)
+                        << (wrow % 32)).reshape(Ws, 32, S_t), axis=1)
+        for k in range(nsample):
+            snz = summ != 0
+            ssel = jnp.min(jnp.where(snz, srow, Ws), axis=0, keepdims=True)
+            s_oh = srow == ssel                           # [Ws, S_t]
+            sval = jnp.sum(jnp.where(s_oh, summ, 0), axis=0, keepdims=True)
+            slsb, sbit = _lsb_pos(sval)
+            wsel = ssel * 32 + sbit                       # first nz word
+            onehot = wrow == wsel                         # [W, S_t]
+            wval = jnp.sum(jnp.where(onehot, words, 0), axis=0,
+                           keepdims=True)
+            lsb, bitpos = _lsb_pos(wval)
+            cur = jnp.where(ssel == Ws, n_total, wsel * 32 + bitpos)
+            if k == 0:
+                first = cur
+            filled = jnp.where(cur == n_total, first, cur)
+            acc = acc + jnp.where(krow == k, filled, 0)
+            words = words - jnp.where(onehot, lsb, 0)
+            # word exhausted -> clear its summary bit
+            summ = summ - jnp.where(s_oh, jnp.where(wval == lsb, slsb, 0), 0)
+    else:
+        for k in range(nsample):  # static unroll: nsample a model constant
+            nz = words != 0
+            wsel = jnp.min(jnp.where(nz, wrow, W), axis=0, keepdims=True)
+            onehot = wrow == wsel                         # [W, S_t]
+            wval = jnp.sum(jnp.where(onehot, words, 0), axis=0,
+                           keepdims=True)
+            lsb, bitpos = _lsb_pos(wval)
+            cur = jnp.where(wsel == W, n_total, wsel * 32 + bitpos)
+            if k == 0:
+                first = cur
+            filled = jnp.where(cur == n_total, first, cur)
+            acc = acc + jnp.where(krow == k, filled, 0)
+            words = words - jnp.where(onehot, lsb, 0)
     out_ref[0, :, :] = acc
 
 
-@functools.partial(jax.jit, static_argnums=(0, 1, 4))
+@functools.partial(jax.jit, static_argnums=(0, 1, 4, 5))
 def query_ball_point_bp(radius: float, nsample: int, xyz: jnp.ndarray,
                         new_xyz: jnp.ndarray,
-                        s_tile: int = 128) -> jnp.ndarray:
+                        s_tile: int = 128,
+                        two_level: bool = False) -> jnp.ndarray:
     """Bit-packed-peel query_ball_point (same contract as the row form)."""
     B, N, _ = xyz.shape
     S = new_xyz.shape[1]
@@ -254,7 +290,7 @@ def query_ball_point_bp(radius: float, nsample: int, xyz: jnp.ndarray,
 
     grid = (B, S // s_tile)
     kernel = functools.partial(_ballquery_kernel_bp, float(radius), nsample,
-                               N)
+                               N, bool(two_level))
     out = pl.pallas_call(
         kernel,
         grid=grid,
