@@ -480,6 +480,29 @@ def test_ballquery_bitpacked_matches_row():
         np.asarray(bq.query_ball_point(0.12, 8, xyz, q)))
 
 
+def test_ballquery_dispatcher_bq_variant_routing():
+    """set_bq_variant("bp"/"bp2") must route ops.query_ball_point through
+    the bit-packed kernel (and "auto" through the round-3 winners), with
+    identical indices across all variants."""
+    import tumseg.ops as ops
+
+    rng = np.random.default_rng(31)
+    xyz = jnp.asarray(rng.random((1, 256, 3)), jnp.float32)
+    q = xyz[:, :64, :]
+    want = np.asarray(xla_ops.query_ball_point(0.25, 8, xyz, q))
+    prev_impl, prev_var = ops._IMPL, ops._BQ_VARIANT
+    try:
+        ops.set_impl("pallas")
+        for variant in ("auto", "bp", "bp2"):
+            ops.set_bq_variant(variant)
+            got = np.asarray(ops.query_ball_point(0.25, 8, xyz, q))
+            np.testing.assert_array_equal(got, want, err_msg=variant)
+        with pytest.raises(ValueError):
+            ops.set_bq_variant("nope")
+    finally:
+        ops._IMPL, ops._BQ_VARIANT = prev_impl, prev_var
+
+
 def test_ballquery_transposed_matches_row():
     """The transposed-peel full kernel (candidates on sublanes, dispatched
     at N <= 1024) and the transposed windowed kernel must reproduce the

@@ -61,14 +61,16 @@ def query_ball_point(radius, nsample, xyz, new_xyz):
     if _use_pallas() and xyz.shape[1] * new_xyz.shape[1] >= _BALLQUERY_PALLAS_MIN:
         try:
             N, S = xyz.shape[1], new_xyz.shape[1]
-            if _BQ_VARIANT == "bp" and N % 32 == 0:
+            if _BQ_VARIANT in ("bp", "bp2") and N % 32 == 0:
                 # bit-packed peel (opt-in until measured on device): packs
                 # the in-ball mask into int32 words and peels lowest set
                 # bits — ~8*(N/32) VPU ops per peel step vs ~4*N for the
-                # masked-min peel. Bit-identical indices (same f32 distance
+                # masked-min peel ("bp2" adds the summary-bitmap level:
+                # ~5*(N/32)). Bit-identical indices (same f32 distance
                 # build, same fill semantics; tests/test_pallas_ops.py).
                 from tumseg.ops.pallas.ballquery import query_ball_point_bp
-                return query_ball_point_bp(radius, nsample, xyz, new_xyz)
+                return query_ball_point_bp(radius, nsample, xyz, new_xyz,
+                                           two_level=_BQ_VARIANT == "bp2")
             if N >= _WINDOW_MIN_N and N % 128 == 0 and S >= 256:
                 # tiered z-window: smallest covering window wins on device,
                 # full-kernel fallback — never slower than the full kernel by
@@ -120,15 +122,16 @@ _WINDOW_MIN_N = 4096
 _WINDOW = os.environ.get("TUMSEG_OPS_WINDOW", "0") == "1"
 
 # Ball-query kernel variant: "auto" = tiered-window at N>=4096, transposed
-# peel at N<=1024 (the measured round-3 winners); "bp" = the bit-packed
-# peel kernel at every N % 32 == 0 shape (opt-in until device-measured).
+# peel at N<=1024 (the measured round-3 winners); "bp"/"bp2" = the
+# bit-packed peel kernel (single/two-level) at every N % 32 == 0 shape
+# (opt-in until device-measured).
 _BQ_VARIANT = os.environ.get("TUMSEG_OPS_BQ", "auto")
 
 
 def set_bq_variant(variant: str) -> None:
-    """Select the ball-query kernel family ("auto" | "bp")."""
+    """Select the ball-query kernel family ("auto" | "bp" | "bp2")."""
     global _BQ_VARIANT
-    if variant not in ("auto", "bp"):
+    if variant not in ("auto", "bp", "bp2"):
         raise ValueError(f"unknown ball-query variant {variant!r}")
     _BQ_VARIANT = variant
 
