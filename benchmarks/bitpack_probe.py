@@ -40,10 +40,12 @@ def main():
     from tumseg.ops.pallas import ballquery as bq
 
     shapes = {
-        # B, N, S, K, radius — the SSG model's stage shapes
+        # B, N, S, K, radius — the SSG model's stage shapes, plus the MSG
+        # sa1 small-radius branch (the other MSG branches share SSG shapes)
         "sa1": (32, 4096, 1024, 32, 0.1),
         "sa2": (32, 1024, 256, 32, 0.2),
         "sa3": (32, 256, 64, 32, 0.4),
+        "msg1a": (32, 4096, 1024, 16, 0.05),
     }
 
     bench = Bench(args.iters, args.chain)
