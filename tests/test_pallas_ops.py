@@ -480,6 +480,35 @@ def test_ballquery_bitpacked_matches_row():
         np.asarray(bq.query_ball_point(0.12, 8, xyz, q)))
 
 
+def test_ballquery_variants_randomized_cross_parity():
+    """Randomized shapes/radii: every kernel family (row, transposed,
+    bit-packed single/two-level) must agree with the XLA oracle exactly.
+    Catches family-specific edge cases (word boundaries, shortfall, dense
+    balls) that the fixed-shape tests might miss."""
+    import tumseg.ops.pallas.ballquery as bq
+
+    rng = np.random.default_rng(41)
+    for trial in range(6):
+        B = int(rng.integers(1, 3))
+        N = int(rng.choice([64, 96, 160, 1024]))
+        S = int(rng.integers(1, max(2, N // 4)))
+        K = int(rng.choice([1, 3, 8, 32]))
+        rad = float(rng.uniform(0.05, 1.2))
+        xyz = jnp.asarray(rng.random((B, N, 3)), jnp.float32)
+        q = jnp.asarray(rng.random((B, S, 3)), jnp.float32)
+        want = np.asarray(xla_ops.query_ball_point(rad, K, xyz, q))
+        msg = f"trial {trial}: B{B} N{N} S{S} K{K} r{rad:.3f}"
+        for name, fn in [
+            ("row", lambda: bq.query_ball_point(rad, K, xyz, q)),
+            ("t", lambda: bq.query_ball_point_t(rad, K, xyz, q)),
+            ("bp", lambda: bq.query_ball_point_bp(rad, K, xyz, q)),
+            ("bp2", lambda: bq.query_ball_point_bp(rad, K, xyz, q, 128,
+                                                   True)),
+        ]:
+            np.testing.assert_array_equal(np.asarray(fn()), want,
+                                          err_msg=f"{msg} [{name}]")
+
+
 def test_ballquery_dispatcher_bq_variant_routing():
     """set_bq_variant("bp"/"bp2") must route ops.query_ball_point through
     the bit-packed kernel (and "auto" through the round-3 winners), with
