@@ -94,6 +94,43 @@ def main():
                 bq.query_ball_point_windowed(radius, K, p, p[:, :S],
                                              (768, 1024, 2048)), xyz)
 
+    # fused multi-radius kernel at the MSG stage shapes (one distance
+    # build shared across the radius list) vs two separate bp calls
+    msg_shapes = {
+        "msg_sa1": (32, 4096, 1024, (0.05, 0.1), (16, 32)),
+        "msg_sa2": (32, 1024, 256, (0.1, 0.2), (16, 32)),
+    }
+    for name, (B, N, S, radii, Ks) in msg_shapes.items():
+        xyz = np.asarray(r.random((B, N, 3)), np.float32)
+        if args.facade:
+            xyz = xyz * np.asarray([1.0, 1.0, 12.0], np.float32)
+        xyz = jnp.asarray(xyz)
+        q = xyz[:, :S, :]
+        for tl in (False, True):
+            tag = "bp2" if tl else "bp"
+            ref = [bq.query_ball_point_bp(rad, K, xyz, q, 128, tl)
+                   for rad, K in zip(radii, Ks)]
+            got = bq.query_ball_point_bp_multi(radii, Ks, xyz, q, 128, tl)
+            eq = min(float(jnp.mean((a == b).astype(jnp.float32)))
+                     for a, b in zip(ref, got))
+            print(json.dumps({"name": f"parity multi=={tag} {name}",
+                              "frac": eq}), flush=True)
+            # fold every radius's output into the chain dep so neither the
+            # fused call nor the first of the separate calls can be DCE'd
+            def _dep(outs):
+                return sum(o[:, :, :1] for o in outs)
+
+            bench.run(
+                f"bq_{tag}_multi {name}",
+                lambda p, radii=radii, Ks=Ks, S=S, tl=tl:
+                _dep(bq.query_ball_point_bp_multi(radii, Ks, p, p[:, :S],
+                                                  128, tl)), xyz)
+            bench.run(
+                f"bq_{tag}_2x {name}",
+                lambda p, radii=radii, Ks=Ks, S=S, tl=tl:
+                _dep([bq.query_ball_point_bp(rad, K, p, p[:, :S], 128, tl)
+                      for rad, K in zip(radii, Ks)]), xyz)
+
 
 if __name__ == "__main__":
     main()

@@ -480,6 +480,73 @@ def test_ballquery_bitpacked_matches_row():
         np.asarray(bq.query_ball_point(0.12, 8, xyz, q)))
 
 
+def test_ballquery_bp_multi_matches_single():
+    """The fused multi-radius kernel (ONE shared distance build, one output
+    per radius — the MSG layer's query pattern) must be bit-identical to
+    separate query_ball_point_bp calls, for both peel levels, per-radius K,
+    and 2- and 3-radius lists."""
+    import tumseg.ops.pallas.ballquery as bq
+
+    rng = np.random.default_rng(37)
+    cases = [(2, 256, 128, (0.1, 0.2), (8, 16)),
+             (1, 1024, 256, (0.1, 0.2, 0.4), (4, 8, 32)),
+             (1, 96, 40, (0.3, 0.9), (33, 3))]
+    for B, N, S, radii, Ks in cases:
+        xyz = jnp.asarray(rng.random((B, N, 3)), jnp.float32)
+        q = xyz[:, :S, :]
+        for two_level in (False, True):
+            got = bq.query_ball_point_bp_multi(radii, Ks, xyz, q,
+                                               two_level=two_level)
+            assert len(got) == len(radii)
+            for r, K, g in zip(radii, Ks, got):
+                want = np.asarray(
+                    bq.query_ball_point_bp(r, K, xyz, q, 128, two_level))
+                np.testing.assert_array_equal(
+                    np.asarray(g), want,
+                    err_msg=f"N{N} r{r} K{K} two_level={two_level}")
+    # N not a multiple of 32 falls back to per-radius row kernels
+    xyz = jnp.asarray(rng.random((1, 100, 3)), jnp.float32)
+    q = xyz[:, :16, :]
+    got = bq.query_ball_point_bp_multi((0.2, 0.4), (4, 8), xyz, q)
+    for r, K, g in zip((0.2, 0.4), (4, 8), got):
+        np.testing.assert_array_equal(
+            np.asarray(g), np.asarray(bq.query_ball_point(r, K, xyz, q)))
+
+
+def test_msg_ball_groups_fused_routing():
+    """ops.msg_ball_groups under TUMSEG_OPS_BQ=bp2 (fused multi-radius
+    kernel) must produce groups identical to the per-radius ball_group
+    path the MSG layer used before."""
+    import tumseg.ops as ops
+
+    rng = np.random.default_rng(43)
+    B, N, S = 2, 256, 64
+    xyz = jnp.asarray(rng.random((B, N, 3)), jnp.float32)
+    newxyz = jnp.asarray(rng.random((B, S, 3)), jnp.float32)
+    src = jnp.asarray(rng.random((B, N, 7)), jnp.float32)  # xyz-first
+    src = src.at[:, :, :3].set(xyz)
+    radii, Ks = (0.2, 0.4), (8, 16)
+    want = [np.asarray(ops._xla.query_ball_point(r, k, xyz, newxyz))
+            for r, k in zip(radii, Ks)]
+    prev_impl, prev_var = ops._IMPL, ops._BQ_VARIANT
+    try:
+        ops.set_impl("pallas")
+        for variant in ("auto", "bp", "bp2"):
+            ops.set_bq_variant(variant)
+            groups = ops.msg_ball_groups(radii, Ks, xyz, newxyz, src)
+            assert len(groups) == 2
+            for g, idx_want, k in zip(groups, want, Ks):
+                ref = (np.asarray(src)[np.arange(B)[:, None, None],
+                                       idx_want]
+                       - np.pad(np.asarray(newxyz), [(0, 0), (0, 0), (0, 4)])
+                       [:, :, None, :])
+                assert g.shape == (B, S, k, 7), variant
+                np.testing.assert_allclose(np.asarray(g), ref, atol=1e-5,
+                                           err_msg=variant)
+    finally:
+        ops._IMPL, ops._BQ_VARIANT = prev_impl, prev_var
+
+
 def test_ballquery_variants_randomized_cross_parity():
     """Randomized shapes/radii: every kernel family (row, transposed,
     bit-packed single/two-level) must agree with the XLA oracle exactly.

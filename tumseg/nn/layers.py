@@ -229,9 +229,9 @@ def set_abstraction_msg(params, stats, cfg: dict, xyz: jnp.ndarray,
     new_xyz = ops.gather_rows(xyz, fps_idx)
     src = jnp.concatenate([xyz, points], axis=-1) if points is not None else xyz
     outs, new_stats = [], []
-    for i, (radius, K) in enumerate(zip(cfg["radius_list"], cfg["nsample_list"])):
-        grouped = ops.ball_group(radius, K, xyz, new_xyz, src,
-                                 fast_gather=fast_gather)
+    groups = ops.msg_ball_groups(cfg["radius_list"], cfg["nsample_list"],
+                                 xyz, new_xyz, src, fast_gather=fast_gather)
+    for i, grouped in enumerate(groups):
         if points is not None:
             # kernel emits [centered xyz, points]; MSG's reference order is
             # [points, centered xyz]

@@ -231,6 +231,32 @@ def group_neighborhoods(idx, src, new_xyz, fast_gather=False):
 _FUSED_GROUP = os.environ.get("TUMSEG_OPS_FUSED_GROUP", "0") == "1"
 
 
+def msg_ball_groups(radius_list, nsample_list, xyz, new_xyz, src,
+                    fast_gather=False):
+    """Multi-scale ball query + neighborhood gather: one grouped tensor
+    [B, S, K_i, C] per radius. With the bit-packed ball-query variant
+    selected (TUMSEG_OPS_BQ=bp|bp2) all radii share ONE fused kernel launch
+    and ONE distance build (ops/pallas/ballquery.py
+    query_ball_point_bp_multi); otherwise falls back to per-radius
+    ball_group (identical outputs either way)."""
+    N = xyz.shape[1]
+    if (_use_pallas() and _BQ_VARIANT in ("bp", "bp2") and N % 32 == 0
+            and len(radius_list) > 1
+            and xyz.shape[1] * new_xyz.shape[1] >= _BALLQUERY_PALLAS_MIN):
+        try:
+            from tumseg.ops.pallas.ballquery import query_ball_point_bp_multi
+            idxs = query_ball_point_bp_multi(
+                tuple(radius_list), tuple(nsample_list), xyz, new_xyz,
+                two_level=_BQ_VARIANT == "bp2")
+            return [group_neighborhoods(idx, src, new_xyz,
+                                        fast_gather=fast_gather)
+                    for idx in idxs]
+        except NotImplementedError:
+            pass
+    return [ball_group(r, k, xyz, new_xyz, src, fast_gather=fast_gather)
+            for r, k in zip(radius_list, nsample_list)]
+
+
 def ball_group(radius, nsample, xyz, new_xyz, src, fast_gather=False):
     """Ball query + neighborhood gather + centering in one step:
     -> grouped [B, S, K, C]."""

@@ -190,34 +190,17 @@ def query_ball_point_t(radius: float, nsample: int, xyz: jnp.ndarray,
 # and therefore output indices — are bit-identical to _ballquery_kernel_t.
 
 
-def _ballquery_kernel_bp(radius: float, nsample: int, n_total: int,
-                         two_level: bool,
-                         xyz_ref, qplane_ref, out_ref):
-    """Bit-packed peel: candidates on sublanes, queries on lanes.
-
-    ``two_level`` additionally maintains a summary bitmap (bit w of summary
-    word w//32 = "word w nonzero") so the first-nonzero-word search is a
-    lowest-set-bit extraction over W/32 summary rows instead of a min-iota
-    reduction over W word rows — ~5*W ops per peel step vs ~8*W."""
-    N = xyz_ref.shape[1]
-    S_t = qplane_ref.shape[2]
+def _bp_pack_and_peel(in_ball, nsample: int, n_total: int, two_level: bool):
+    """Pack an [N, S_t] 0/1 in-ball mask into int32 words and peel the
+    ``nsample`` lowest set bits per lane -> acc [nsample, S_t] of original
+    candidate indices (shortfall filled with the first found neighbor,
+    empty balls with the n_total sentinel handled by the caller contract —
+    identical fill semantics to the masked-min peels above)."""
+    N, S_t = in_ball.shape
     W = N // 32
     rows = lax.broadcasted_iota(jnp.int32, (N, S_t), dimension=0)
     wrow = lax.broadcasted_iota(jnp.int32, (W, S_t), dimension=0)
     krow = lax.broadcasted_iota(jnp.int32, (nsample, S_t), dimension=0)
-
-    s = xyz_ref[0, :, :]                                  # [N, 3]
-    sx = s[:, 0][:, None]
-    sy = s[:, 1][:, None]
-    sz = s[:, 2][:, None]
-    qx = qplane_ref[0, 0, :][None, :]                     # [1, S_t]
-    qy = qplane_ref[0, 1, :][None, :]
-    qz = qplane_ref[0, 2, :][None, :]
-    dx = sx - qx
-    dy = sy - qy
-    dz = sz - qz
-    d = dx * dx + dy * dy + dz * dz                       # [N, S_t]
-    in_ball = (d <= radius * radius).astype(jnp.int32)
 
     # pack: bit (n % 32) of word (n // 32); the reshape keeps the minor
     # (lane) dim so Mosaic lays it out as a pure sublane regroup
@@ -268,7 +251,54 @@ def _ballquery_kernel_bp(radius: float, nsample: int, n_total: int,
             filled = jnp.where(cur == n_total, first, cur)
             acc = acc + jnp.where(krow == k, filled, 0)
             words = words - jnp.where(onehot, lsb, 0)
-    out_ref[0, :, :] = acc
+    return acc
+
+
+def _bp_distances(xyz_ref, qplane_ref):
+    """[N, S_t] squared distances, candidates on sublanes (same f32
+    rounding as _ballquery_kernel_t so indices stay bit-identical)."""
+    s = xyz_ref[0, :, :]                                  # [N, 3]
+    sx = s[:, 0][:, None]
+    sy = s[:, 1][:, None]
+    sz = s[:, 2][:, None]
+    qx = qplane_ref[0, 0, :][None, :]                     # [1, S_t]
+    qy = qplane_ref[0, 1, :][None, :]
+    qz = qplane_ref[0, 2, :][None, :]
+    dx = sx - qx
+    dy = sy - qy
+    dz = sz - qz
+    return dx * dx + dy * dy + dz * dz                    # [N, S_t]
+
+
+def _ballquery_kernel_bp(radius: float, nsample: int, n_total: int,
+                         two_level: bool,
+                         xyz_ref, qplane_ref, out_ref):
+    """Bit-packed peel: candidates on sublanes, queries on lanes.
+
+    ``two_level`` additionally maintains a summary bitmap (bit w of summary
+    word w//32 = "word w nonzero") so the first-nonzero-word search is a
+    lowest-set-bit extraction over W/32 summary rows instead of a min-iota
+    reduction over W word rows — ~5*W ops per peel step vs ~8*W."""
+    d = _bp_distances(xyz_ref, qplane_ref)
+    in_ball = (d <= radius * radius).astype(jnp.int32)
+    out_ref[0, :, :] = _bp_pack_and_peel(in_ball, nsample, n_total, two_level)
+
+
+def _ballquery_kernel_bp_multi(radii, nsamples, n_total: int,
+                               two_level: bool,
+                               xyz_ref, qplane_ref, *out_refs):
+    """Multi-radius bit-packed peel: ONE distance build shared across all
+    radii (the MSG layer queries the same (xyz, new_xyz) pair once per
+    radius — reference models/pointnet2_utils.py:229-237). The 8*N-op
+    distance build is the largest single term in the bp kernel (vs
+    ~K*5*(N/32) peel), so sharing it across R radii saves ~(R-1)*8*N ops
+    per query tile. Each radius keeps its own mask/pack/peel, so outputs
+    are bit-identical to per-radius query_ball_point_bp calls."""
+    d = _bp_distances(xyz_ref, qplane_ref)
+    for radius, nsample, out_ref in zip(radii, nsamples, out_refs):
+        in_ball = (d <= radius * radius).astype(jnp.int32)
+        out_ref[0, :, :] = _bp_pack_and_peel(in_ball, nsample, n_total,
+                                             two_level)
 
 
 @functools.partial(jax.jit, static_argnums=(0, 1, 4, 5))
@@ -305,6 +335,53 @@ def query_ball_point_bp(radius: float, nsample: int, xyz: jnp.ndarray,
         out_shape=jax.ShapeDtypeStruct((B, nsample, S), jnp.int32),
     )(rowsxyz, qplanes)
     return jnp.transpose(out, (0, 2, 1))
+
+
+@functools.partial(jax.jit, static_argnums=(0, 1, 4, 5))
+def query_ball_point_bp_multi(radii, nsamples, xyz: jnp.ndarray,
+                              new_xyz: jnp.ndarray,
+                              s_tile: int = 128,
+                              two_level: bool = False):
+    """Fused multi-radius ball query: one kernel launch, the distance
+    build shared across radii, one [B, S, K_i] int32 output per radius.
+
+    Same contract per output as query_ball_point_bp(radii[i], nsamples[i],
+    xyz, new_xyz) — bit-identical indices. Used by the MSG set-abstraction
+    layer (reference models/pointnet2_utils.py:205-262), whose radius list
+    queries the same centroids 2-3x."""
+    radii = tuple(float(r) for r in radii)
+    nsamples = tuple(int(k) for k in nsamples)
+    B, N, _ = xyz.shape
+    S = new_xyz.shape[1]
+    s_tile = min(s_tile, S)
+    if S % s_tile != 0:
+        s_tile = S
+    if N % 32 != 0:
+        return tuple(query_ball_point(r, k, xyz, new_xyz)
+                     for r, k in zip(radii, nsamples))
+
+    rowsxyz = xyz.astype(jnp.float32)                     # [B, N, 3]
+    qplanes = jnp.transpose(new_xyz.astype(jnp.float32), (0, 2, 1))
+
+    grid = (B, S // s_tile)
+    kernel = functools.partial(_ballquery_kernel_bp_multi, radii, nsamples,
+                               N, bool(two_level))
+    outs = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, N, 3), lambda i, j: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 3, s_tile), lambda i, j: (i, 0, j),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=tuple(
+            pl.BlockSpec((1, k, s_tile), lambda i, j: (i, 0, j),
+                         memory_space=pltpu.VMEM) for k in nsamples),
+        out_shape=tuple(
+            jax.ShapeDtypeStruct((B, k, S), jnp.int32) for k in nsamples),
+    )(rowsxyz, qplanes)
+    return tuple(jnp.transpose(o, (0, 2, 1)) for o in outs)
 
 
 # ---------------------------------------------------------------------------
