@@ -63,6 +63,9 @@ def main():
                     help="epoch length multiplier (more steps = less "
                          "per-epoch fence noise)")
     ap.add_argument("--workdir", default="/tmp/tumseg_sustained")
+    ap.add_argument("--superstep", type=int, default=8,
+                    help="also bench the k-step scanned dispatch at this k "
+                         "(0 disables)")
     args = ap.parse_args()
 
     import shutil
@@ -146,12 +149,42 @@ def main():
             "ms_per_step": round(1e3 * (best - readback) / n_steps, 2),
             "points_per_sec": round(pps, 0)}), flush=True)
 
+    # ---- scanned superstep: k device-pipeline steps per dispatch ---------
+    if args.superstep > 1:
+        k = args.superstep
+        rooms_k0 = np.stack([rooms0] * k)
+        fence(engine.train_batch_rooms_multi(rooms_k0, 1e-3, 0.1)[0])
+        times = []
+        for _ in range(args.epochs):
+            ids = [b.room_ids for b in iter(dev_loader)]
+            groups = [np.stack(ids[i:i + k])
+                      for i in range(0, len(ids) - k + 1, k)]
+            tail = ids[len(groups) * k:]
+            t0 = time.perf_counter()
+            losses = [engine.train_batch_rooms_multi(g, 1e-3, 0.1)[0]
+                      for g in groups]
+            losses += [engine.train_batch_rooms(i, 1e-3, 0.1)[0]
+                       for i in tail]
+            fence([jnp.sum(l) for l in losses])
+            times.append(time.perf_counter() - t0)
+        best = min(times)
+        pps = n_steps * B * P / max(best - readback, 1e-9)
+        results[f"superstep{k}"] = pps
+        print(json.dumps({
+            "mode": f"superstep{k}", "steps": n_steps, "batch": B,
+            "npoint": P, "epoch_s": round(best, 3),
+            "ms_per_step": round(1e3 * (best - readback) / n_steps, 2),
+            "points_per_sec": round(pps, 0)}), flush=True)
+
     print(json.dumps({
         "mode": "summary",
         "device_pipeline_vs_device_rate": round(
             results["device_pipeline"] / results["device_rate"], 3),
         "host_pipeline_vs_device_rate": round(
-            results["host_pipeline"] / results["device_rate"], 3)}),
+            results["host_pipeline"] / results["device_rate"], 3),
+        **({f"superstep{args.superstep}_vs_device_rate": round(
+            results[f"superstep{args.superstep}"] / results["device_rate"],
+            3)} if args.superstep > 1 else {})}),
         flush=True)
 
 

@@ -385,6 +385,85 @@ def test_device_sampled_fit_end_to_end(tmp_path):
     assert all(np.isfinite(v) for v in ml)
 
 
+def test_superstep_matches_per_step():
+    """train_batch_rooms_multi (k steps in one lax.scan dispatch) must
+    reproduce k separate train_batch_rooms calls exactly: the scan derives
+    the identical fold_in(base_key, step) key per step, so sampling,
+    augmentation, and updates are the same computation."""
+    model = models.get_module("pointnet_sem_seg")
+
+    def make_engine():
+        e = TrainEngine(model, num_classes=4, train_weights=np.ones(4),
+                        augment_rotate=True, seed=0, sampler=_toy_sampler())
+        e.init_state(jax.random.PRNGKey(0), num_extra_features=0)
+        return e
+
+    rooms = np.zeros((5, 4), np.int32)
+    a = make_engine()
+    losses_a, corrects_a = [], []
+    for i in range(5):
+        l, c = a.train_batch_rooms(rooms[i], 1e-3, 0.1)
+        losses_a.append(float(l))
+        corrects_a.append(int(c))
+
+    b = make_engine()
+    losses_b, corrects_b = b.train_batch_rooms_multi(rooms, 1e-3, 0.1)
+    assert b._step_count == a._step_count == 5
+    np.testing.assert_allclose(np.asarray(losses_b), losses_a, rtol=2e-5)
+    np.testing.assert_array_equal(np.asarray(corrects_b), corrects_a)
+    jax.tree_util.tree_map(
+        lambda x, y: np.testing.assert_allclose(x, y, rtol=2e-5, atol=1e-6),
+        a.params, b.params)
+    # a subsequent per-step call continues the same stream
+    l_a, _ = a.train_batch_rooms(rooms[0], 1e-3, 0.1)
+    l_b, _ = b.train_batch_rooms(rooms[0], 1e-3, 0.1)
+    np.testing.assert_allclose(float(l_b), float(l_a), rtol=2e-5)
+
+
+def test_superstep_on_mesh():
+    """The scanned superstep under shard_map: room ids [k, B] shard the
+    batch axis only; runs and stays finite on the 8-device mesh."""
+    from tumseg.parallel import make_mesh
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    model = models.get_module("pointnet_sem_seg")
+    engine = TrainEngine(model, num_classes=4, train_weights=np.ones(4),
+                         mesh=make_mesh(8), augment_rotate=True, seed=0,
+                         sampler=_toy_sampler())
+    engine.init_state(jax.random.PRNGKey(0), num_extra_features=0)
+    rooms = np.zeros((3, 8), np.int32)
+    losses, corrects = engine.train_batch_rooms_multi(rooms, 1e-3, 0.1)
+    assert losses.shape == (3,) and corrects.shape == (3,)
+    assert np.all(np.isfinite(np.asarray(losses)))
+
+
+def test_fit_superstep_end_to_end(tmp_path):
+    """fit(superstep=4) over a 6-batch epoch: one 4-step dispatch + 2 tail
+    steps, same charts shape and finite losses as the per-step path."""
+    from tumseg.data.device_sampler import DeviceSampleLoader
+
+    class _Ds:
+        room_idxs = np.zeros(24, np.int64)
+
+    model = models.get_module("pointnet_sem_seg")
+    engine = TrainEngine(model, num_classes=4, train_weights=np.ones(4),
+                         augment_rotate=True, seed=0, sampler=_toy_sampler())
+    engine.init_state(jax.random.PRNGKey(0), num_extra_features=0)
+    loader = DeviceSampleLoader(_Ds(), batch_size=4, shuffle=True, seed=0)
+    eval_loader = DeviceSampleLoader(_Ds(), batch_size=4, shuffle=False)
+    logs = []
+    acc, ml, iou = fit(
+        engine, loader, eval_loader, start_epoch=0, end_epoch=1,
+        learning_rate=1e-3, lr_decay=0.7, step_size=10, batch_size=4,
+        num_point=128, checkpoints_dir=str(tmp_path),
+        model_name="/best_model.pth",
+        seg_label_to_cat={i: f"c{i}" for i in range(4)},
+        log_string=logs.append, superstep=4)
+    assert len(acc) == 1 and all(np.isfinite(v) for v in ml)
+    assert engine._step_count == 6
+
+
 def test_device_sampled_step_on_mesh():
     """The sampled train step runs under shard_map: room ids shard over the
     data axis, sampler tables replicate, per-device keys draw distinct

@@ -100,6 +100,9 @@ def parse_args(argv=None):
                              "train step (per-step upload ~100 bytes), 'host' "
                              "is the reference-parity NumPy path; 'auto' "
                              "picks device on TPU backends")
+    parser.add_argument("--superstep", type=int, default=1,
+                        help="device-pipeline steps fused per dispatch "
+                             "(lax.scan; same run, fewer host round trips)")
     parser.add_argument("--coordinator_address", type=str, default=None,
                         help="host:port of process 0 for multi-host pods "
                              "(jax.distributed)")
@@ -289,7 +292,8 @@ def main(args):
                  step_size=args.step_size, batch_size=BATCH_SIZE,
                  num_point=NUM_POINT, checkpoints_dir=checkpoints_dir,
                  model_name=model_name, seg_label_to_cat=seg_label_to_cat,
-                 log_string=log_string)
+                 log_string=log_string,
+                 superstep=(args.superstep if device_pipeline else 1))
     return charts
 
 

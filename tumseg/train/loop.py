@@ -25,6 +25,7 @@ from typing import Dict
 
 import jax
 import jax.numpy as jnp
+from jax import lax
 import numpy as np
 import optax
 
@@ -170,6 +171,29 @@ class TrainEngine:
             points, target = sampler.sample_batch(fold_axis(key), room_ids)
             return eval_step(params, batch_stats, points, target, weights)
 
+        def train_superstep_rooms(params, batch_stats, opt_state, room_ids_k,
+                                  weights, lr, momentum, base_key, step0):
+            # k train steps in ONE dispatch (lax.scan): the device-pipeline
+            # step's host cost is pure dispatch (~100 bytes shipped/step),
+            # so at k steps per dispatch the sustained rate approaches the
+            # enqueued device rate. Per-step keys are fold_in(base_key,
+            # step0 + i) — the SAME stream as train_batch_rooms, so the
+            # sampled blocks (and therefore the whole run) are unchanged.
+            k = room_ids_k.shape[0]
+            keys = jax.vmap(lambda i: jax.random.fold_in(base_key, i))(
+                step0 + jnp.arange(k, dtype=jnp.int32))
+
+            def body(carry, inp):
+                p, s, o = carry
+                ids, kk = inp
+                p, s, o, loss, correct = train_step_rooms(
+                    p, s, o, ids, weights, lr, momentum, kk)
+                return (p, s, o), (loss, correct)
+
+            (params, batch_stats, opt_state), (losses, corrects) = lax.scan(
+                body, (params, batch_stats, opt_state), (room_ids_k, keys))
+            return params, batch_stats, opt_state, losses, corrects
+
         if mesh is not None:
             # shard_map: batch sharded over the data axis, state replicated;
             # collectives (BN pmean, loss/grad psum) are explicit above. This
@@ -201,6 +225,13 @@ class TrainEngine:
                     in_specs=(P(), P(), P_b, P(), P()),
                     out_specs=(P(), P()),
                     check_vma=True))
+                # room_ids_k [k, B]: batch axis sharded, scan axis whole
+                self._train_superstep_rooms = jax.jit(jax.shard_map(
+                    train_superstep_rooms, mesh=mesh,
+                    in_specs=(P(), P(), P(), P(None, pmesh.DATA_AXIS), P(),
+                              P(), P(), P(), P()),
+                    out_specs=(P(), P(), P(), P(), P()),
+                    check_vma=True), donate_argnums=(0, 1, 2))
         else:
             self._train_step = jax.jit(train_step, donate_argnums=(0, 1, 2))
             self._eval_step = jax.jit(eval_step)
@@ -208,6 +239,8 @@ class TrainEngine:
                 self._train_step_rooms = jax.jit(train_step_rooms,
                                                  donate_argnums=(0, 1, 2))
                 self._eval_step_rooms = jax.jit(eval_step_rooms)
+                self._train_superstep_rooms = jax.jit(
+                    train_superstep_rooms, donate_argnums=(0, 1, 2))
 
     # -- state management ---------------------------------------------------
 
@@ -303,6 +336,26 @@ class TrainEngine:
             jnp.float32(momentum), key)
         return loss, correct
 
+    def train_batch_rooms_multi(self, room_ids_k, lr: float, momentum: float):
+        """k train steps in one dispatch (lax.scan over the room-id step).
+        room_ids_k is [k, B] int32. Returns ([k] losses, [k] corrects) on
+        device. RNG/sampling identical to k train_batch_rooms calls (the
+        scan derives the same fold_in(base_key, step) keys), so the two
+        paths produce the same run — pinned by tests/test_train.py."""
+        room_ids_k = jnp.asarray(room_ids_k, dtype=jnp.int32)
+        if self._batch_sharding is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+            room_ids_k = jax.device_put(room_ids_k, NamedSharding(
+                self.mesh, P(None, pmesh.DATA_AXIS)))
+        step0 = jnp.int32(self._step_count)
+        self._step_count += int(room_ids_k.shape[0])
+        (self.params, self.batch_stats, self.opt_state, losses,
+         corrects) = self._train_superstep_rooms(
+            self.params, self.batch_stats, self.opt_state, room_ids_k,
+            self.weights, jnp.float32(lr), jnp.float32(momentum),
+            self.base_key, step0)
+        return losses, corrects
+
     def eval_batch_rooms(self, room_ids):
         # eval keys fold counters offset by 2^31: disjoint from the train
         # stream's fold_in(base, step_count < 2^31) without re-deriving
@@ -317,9 +370,13 @@ class TrainEngine:
 def fit(engine: TrainEngine, train_loader, eval_loader, *, start_epoch: int,
         end_epoch: int, learning_rate: float, lr_decay: float, step_size: int,
         batch_size: int, num_point: int, checkpoints_dir, model_name: str,
-        seg_label_to_cat: Dict, log_string=print):
+        seg_label_to_cat: Dict, log_string=print, superstep: int = 1):
     """Epoch loop mirroring modelTraining (localfunctions.py:159-334).
-    Returns (accuracyChart, MLChart, IoUChart)."""
+    Returns (accuracyChart, MLChart, IoUChart).
+
+    ``superstep`` > 1 groups that many device-pipeline batches into one
+    k-step scanned dispatch (train_batch_rooms_multi) — same run, fewer
+    host dispatches; the epoch tail falls back to per-step calls."""
     num_classes = engine.num_classes
     accuracy_chart, ml_chart, iou_chart = [], [], []
     best_iou = 0.0
@@ -336,11 +393,22 @@ def fit(engine: TrainEngine, train_loader, eval_loader, *, start_epoch: int,
         num_batches = len(train_loader)
         total_seen = 0
         losses, corrects = [], []
+        room_buf = []
         t0 = time.time()
         for batch in train_loader:
             if isinstance(batch, RoomBatch):
                 # device pipeline: the batch exists only as room ids; blocks
                 # are sampled/featurized inside the step jit
+                if superstep > 1:
+                    room_buf.append(np.asarray(batch.room_ids))
+                    total_seen += batch_size * num_point
+                    if len(room_buf) == superstep:
+                        l, c = engine.train_batch_rooms_multi(
+                            np.stack(room_buf), lr, momentum)
+                        losses.append(jnp.sum(l))
+                        corrects.append(jnp.sum(c))
+                        room_buf = []
+                    continue
                 loss, correct = engine.train_batch_rooms(batch.room_ids, lr,
                                                          momentum)
             else:
@@ -351,6 +419,10 @@ def fit(engine: TrainEngine, train_loader, eval_loader, *, start_epoch: int,
             losses.append(loss)
             corrects.append(correct)
             total_seen += batch_size * num_point
+        for ids in room_buf:  # epoch tail < superstep: per-step executable
+            loss, correct = engine.train_batch_rooms(ids, lr, momentum)
+            losses.append(loss)
+            corrects.append(correct)
         loss_sum = float(jnp.sum(jnp.stack(losses))) if losses else 0.0
         total_correct = (int(jnp.sum(jnp.stack(corrects))) if corrects else 0)
         train_time = time.time() - t0
