@@ -418,6 +418,19 @@ def test_superstep_matches_per_step():
     l_a, _ = a.train_batch_rooms(rooms[0], 1e-3, 0.1)
     l_b, _ = b.train_batch_rooms(rooms[0], 1e-3, 0.1)
     np.testing.assert_allclose(float(l_b), float(l_a), rtol=2e-5)
+    # eval superstep: same key stream -> same losses and summed tallies
+    ev_a = [a.eval_batch_rooms(rooms[i]) for i in range(3)]
+    ev_l, ev_t = b.eval_batch_rooms_multi(rooms[:3])
+    assert b._eval_count == a._eval_count == 3
+    np.testing.assert_allclose(np.asarray(ev_l),
+                               [float(l) for l, _ in ev_a], rtol=2e-5)
+    want_t = ev_a[0][1]
+    for _, t in ev_a[1:]:
+        want_t = jax.tree_util.tree_map(lambda x, y: x + y, want_t, t)
+    jax.tree_util.tree_map(
+        lambda x, y: np.testing.assert_array_equal(np.asarray(x),
+                                                   np.asarray(y)),
+        ev_t, want_t)
 
 
 def test_superstep_on_mesh():
@@ -436,6 +449,9 @@ def test_superstep_on_mesh():
     losses, corrects = engine.train_batch_rooms_multi(rooms, 1e-3, 0.1)
     assert losses.shape == (3,) and corrects.shape == (3,)
     assert np.all(np.isfinite(np.asarray(losses)))
+    ev_l, ev_t = engine.eval_batch_rooms_multi(rooms)
+    assert ev_l.shape == (3,)
+    assert np.asarray(ev_t["seen"]).sum() == 3 * 8 * 128
 
 
 def test_fit_superstep_end_to_end(tmp_path):

@@ -171,6 +171,29 @@ class TrainEngine:
             points, target = sampler.sample_batch(fold_axis(key), room_ids)
             return eval_step(params, batch_stats, points, target, weights)
 
+        def eval_superstep_rooms(params, batch_stats, room_ids_k, weights,
+                                 base_key, count0):
+            # k eval steps per dispatch; keys fold (1 << 31) + eval_count
+            # exactly like eval_batch_rooms, so the sampled eval blocks are
+            # unchanged. Losses stay per-step [k]; tallies sum inside.
+            k = room_ids_k.shape[0]
+            # uint32 arithmetic: (1 << 31) overflows int32; fold_in folds
+            # the same uint32 value eval_batch_rooms derives from its
+            # python-int counter
+            counts = (jnp.uint32(1 << 31) + count0.astype(jnp.uint32)
+                      + 1 + jnp.arange(k, dtype=jnp.uint32))
+            keys = jax.vmap(lambda i: jax.random.fold_in(base_key, i))(counts)
+
+            def body(carry, inp):
+                ids, kk = inp
+                loss, tallies = eval_step_rooms(params, batch_stats, ids,
+                                                weights, kk)
+                return carry, (loss, tallies)
+
+            _, (losses, tallies) = lax.scan(body, 0, (room_ids_k, keys))
+            return losses, jax.tree_util.tree_map(
+                lambda t: jnp.sum(t, axis=0), tallies)
+
         def train_superstep_rooms(params, batch_stats, opt_state, room_ids_k,
                                   weights, lr, momentum, base_key, step0):
             # k train steps in ONE dispatch (lax.scan): the device-pipeline
@@ -232,6 +255,12 @@ class TrainEngine:
                               P(), P(), P(), P()),
                     out_specs=(P(), P(), P(), P(), P()),
                     check_vma=True), donate_argnums=(0, 1, 2))
+                self._eval_superstep_rooms = jax.jit(jax.shard_map(
+                    eval_superstep_rooms, mesh=mesh,
+                    in_specs=(P(), P(), P(None, pmesh.DATA_AXIS), P(), P(),
+                              P()),
+                    out_specs=(P(), P()),
+                    check_vma=True))
         else:
             self._train_step = jax.jit(train_step, donate_argnums=(0, 1, 2))
             self._eval_step = jax.jit(eval_step)
@@ -241,6 +270,7 @@ class TrainEngine:
                 self._eval_step_rooms = jax.jit(eval_step_rooms)
                 self._train_superstep_rooms = jax.jit(
                     train_superstep_rooms, donate_argnums=(0, 1, 2))
+                self._eval_superstep_rooms = jax.jit(eval_superstep_rooms)
 
     # -- state management ---------------------------------------------------
 
@@ -366,6 +396,20 @@ class TrainEngine:
                                      self._put_rooms(room_ids), self.weights,
                                      key)
 
+    def eval_batch_rooms_multi(self, room_ids_k):
+        """k eval steps in one dispatch: ([k] losses, summed tallies).
+        Key stream identical to k eval_batch_rooms calls."""
+        room_ids_k = jnp.asarray(room_ids_k, dtype=jnp.int32)
+        if self._batch_sharding is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+            room_ids_k = jax.device_put(room_ids_k, NamedSharding(
+                self.mesh, P(None, pmesh.DATA_AXIS)))
+        count0 = jnp.int32(self._eval_count)
+        self._eval_count += int(room_ids_k.shape[0])
+        return self._eval_superstep_rooms(self.params, self.batch_stats,
+                                          room_ids_k, self.weights,
+                                          self.base_key, count0)
+
 
 def fit(engine: TrainEngine, train_loader, eval_loader, *, start_epoch: int,
         end_epoch: int, learning_rate: float, lr_decay: float, step_size: int,
@@ -445,14 +489,29 @@ def fit(engine: TrainEngine, train_loader, eval_loader, *, start_epoch: int,
         tallies = M.zero_tallies(num_classes)
         eval_losses = []
         eval_seen = 0
+        eval_buf = []
         for batch in eval_loader:
             if isinstance(batch, RoomBatch):
+                if superstep > 1:
+                    eval_buf.append(np.asarray(batch.room_ids))
+                    eval_seen += batch_size * num_point
+                    if len(eval_buf) == superstep:
+                        l, t = engine.eval_batch_rooms_multi(
+                            np.stack(eval_buf))
+                        eval_losses.append(jnp.sum(l))
+                        tallies = M.accumulate(tallies, t)
+                        eval_buf = []
+                    continue
                 loss, t = engine.eval_batch_rooms(batch.room_ids)
             else:
                 loss, t = engine.eval_batch(*batch)
             eval_losses.append(loss)  # device-side; fenced once below
             tallies = M.accumulate(tallies, t)
             eval_seen += batch_size * num_point
+        for ids in eval_buf:  # tail: per-step executable
+            loss, t = engine.eval_batch_rooms(ids)
+            eval_losses.append(loss)
+            tallies = M.accumulate(tallies, t)
         eval_loss_sum = (float(jnp.sum(jnp.stack(eval_losses)))
                          if eval_losses else 0.0)
 
