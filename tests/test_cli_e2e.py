@@ -259,7 +259,7 @@ def test_train_cli_device_pipeline(workspace, monkeypatch):
         "--model", "pointnet_sem_seg", "--class8",
         "--exp_dir", str(workspace / "log"), "--log_dir", "devpipe",
         "--seed", "0", "--epoch", "1", "--batch_size", "4",
-        "--npoint", "128", "--data_pipeline", "device"])
+        "--npoint", "128", "--data_pipeline", "device", "--superstep", "2"])
     acc, ml, iou = train_cli.main(args)
     assert len(acc) == 1 and np.isfinite(ml[0])
     ckpt = (workspace / "log" / "sem_seg" / "devpipe" / "checkpoints"
