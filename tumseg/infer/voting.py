@@ -576,35 +576,39 @@ class InferenceRunner:
         pool = jnp.zeros((labels.shape[0], self.num_classes),
                          dtype=jnp.float32)
         executor = ThreadPoolExecutor(max_workers=1)
-        fut = executor.submit(dataset.grid_indices, scene_idx)
-        bs = self.batch_size
-        for vote in range(num_votes):
-            idx_blocks, offsets = fut.result()
-            if vote + 1 < num_votes:
-                fut = executor.submit(dataset.grid_indices, scene_idx)
-            if gt_weight_gate:
-                smpw = lw[labels[idx_blocks]]
-                keep = (smpw != 0) & ~np.isinf(smpw)
-            else:
-                keep = np.ones(idx_blocks.shape, dtype=bool)
-            for s in range(0, idx_blocks.shape[0], bs):
-                idx_c = idx_blocks[s:s + bs].astype(np.int32)
-                offs_c = offsets[s:s + bs].astype(np.float32)
-                keep_c = keep[s:s + bs]
-                real = idx_c.shape[0]
-                if real < bs:
-                    idx_c = np.pad(idx_c, [(0, bs - real), (0, 0)])
-                    offs_c = np.pad(offs_c, [(0, bs - real), (0, 0)])
-                    keep_c = np.pad(keep_c, [(0, bs - real), (0, 0)])
-                jidx = jnp.asarray(idx_c)
-                if self._sharding is not None:
-                    jidx = jax.device_put(jidx, self._sharding)
-                pred = self._forward_featurized(
-                    self.variables, scene_xyz, scene_extra, coord_max,
-                    color_mask, jidx, jnp.asarray(offs_c),
-                    float(dataset.block_size))
-                pool = _scatter_votes(pool, jidx, pred, jnp.asarray(keep_c))
-        executor.shutdown(wait=False)
+        # try/finally: shut the prefetch worker down even when a vote raises
+        try:
+            fut = executor.submit(dataset.grid_indices, scene_idx)
+            bs = self.batch_size
+            for vote in range(num_votes):
+                idx_blocks, offsets = fut.result()
+                if vote + 1 < num_votes:
+                    fut = executor.submit(dataset.grid_indices, scene_idx)
+                if gt_weight_gate:
+                    smpw = lw[labels[idx_blocks]]
+                    keep = (smpw != 0) & ~np.isinf(smpw)
+                else:
+                    keep = np.ones(idx_blocks.shape, dtype=bool)
+                for s in range(0, idx_blocks.shape[0], bs):
+                    idx_c = idx_blocks[s:s + bs].astype(np.int32)
+                    offs_c = offsets[s:s + bs].astype(np.float32)
+                    keep_c = keep[s:s + bs]
+                    real = idx_c.shape[0]
+                    if real < bs:
+                        idx_c = np.pad(idx_c, [(0, bs - real), (0, 0)])
+                        offs_c = np.pad(offs_c, [(0, bs - real), (0, 0)])
+                        keep_c = np.pad(keep_c, [(0, bs - real), (0, 0)])
+                    jidx = jnp.asarray(idx_c)
+                    if self._sharding is not None:
+                        jidx = jax.device_put(jidx, self._sharding)
+                    pred = self._forward_featurized(
+                        self.variables, scene_xyz, scene_extra, coord_max,
+                        color_mask, jidx, jnp.asarray(offs_c),
+                        float(dataset.block_size))
+                    pool = _scatter_votes(pool, jidx, pred,
+                                          jnp.asarray(keep_c))
+        finally:
+            executor.shutdown(wait=False)
         return np.asarray(jnp.argmax(pool, axis=1))
 
     def infer_scene(self, dataset, scene_idx: int, num_votes: int = 5,
@@ -628,32 +632,35 @@ class InferenceRunner:
         # current one (the reference re-blocks synchronously every vote,
         # sem_seg_testing.py:182-254 — the host-side hot path)
         executor = ThreadPoolExecutor(max_workers=1)
-        fut = executor.submit(dataset.__getitem__, scene_idx)
-        bs = self.batch_size
-        for vote in range(num_votes):
-            scene_data, scene_label, scene_smpw, scene_index = fut.result()
-            if vote + 1 < num_votes:
-                fut = executor.submit(dataset.__getitem__, scene_idx)
-            if gt_weight_gate:
-                keep = (scene_smpw != 0) & ~np.isinf(scene_smpw)
-            else:
-                keep = np.ones_like(scene_smpw, dtype=bool)
-            # scatter each chunk's device predictions straight into the
-            # device pool: predictions never visit the host (each readback
-            # costs ~26 ms through this image's TPU tunnel), padded rows
-            # vote with keep=False
-            for ci, (pred, real) in enumerate(
-                    self._predict_chunks(scene_data)):
-                s = ci * bs
-                idx_c = scene_index[s:s + bs].astype(np.int32)
-                keep_c = keep[s:s + bs]
-                if real < pred.shape[0]:
-                    pad = pred.shape[0] - real
-                    idx_c = np.pad(idx_c, [(0, pad), (0, 0)])
-                    keep_c = np.pad(keep_c, [(0, pad), (0, 0)])
-                pool = _scatter_votes(pool, jnp.asarray(idx_c),
-                                      pred, jnp.asarray(keep_c))
-        executor.shutdown(wait=False)
+        # try/finally: shut the prefetch worker down even when a vote raises
+        try:
+            fut = executor.submit(dataset.__getitem__, scene_idx)
+            bs = self.batch_size
+            for vote in range(num_votes):
+                scene_data, scene_label, scene_smpw, scene_index = fut.result()
+                if vote + 1 < num_votes:
+                    fut = executor.submit(dataset.__getitem__, scene_idx)
+                if gt_weight_gate:
+                    keep = (scene_smpw != 0) & ~np.isinf(scene_smpw)
+                else:
+                    keep = np.ones_like(scene_smpw, dtype=bool)
+                # scatter each chunk's device predictions straight into the
+                # device pool: predictions never visit the host (each readback
+                # costs ~26 ms through this image's TPU tunnel), padded rows
+                # vote with keep=False
+                for ci, (pred, real) in enumerate(
+                        self._predict_chunks(scene_data)):
+                    s = ci * bs
+                    idx_c = scene_index[s:s + bs].astype(np.int32)
+                    keep_c = keep[s:s + bs]
+                    if real < pred.shape[0]:
+                        pad = pred.shape[0] - real
+                        idx_c = np.pad(idx_c, [(0, pad), (0, 0)])
+                        keep_c = np.pad(keep_c, [(0, pad), (0, 0)])
+                    pool = _scatter_votes(pool, jnp.asarray(idx_c),
+                                          pred, jnp.asarray(keep_c))
+        finally:
+            executor.shutdown(wait=False)
         return np.asarray(jnp.argmax(pool, axis=1))
 
 
