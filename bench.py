@@ -18,6 +18,7 @@ vs_baseline compares against the PyTorch reference running the same forward
 
 import json
 import os
+import threading
 import time
 
 import jax
@@ -33,6 +34,32 @@ enable_compile_cache()
 TORCH_CPU_REFERENCE_POINTS_PER_SEC = 7649.0  # measured anchor, BASELINE.md
 
 
+def _arm_init_watchdog():
+    """Bound the first device touch: backend init through the axon tunnel
+    hangs forever when the tunnel is down (observed 2026-08-17/18). If the
+    warmup (init + first compile + first readback — worst case ~5-10 min
+    cold) hasn't completed within TUMSEG_BENCH_INIT_TIMEOUT seconds
+    (default 1800), print an explicit zero-value JSON line so the driver
+    records *why* instead of hanging its round-close run."""
+    seconds = float(os.environ.get("TUMSEG_BENCH_INIT_TIMEOUT", "1800"))
+    done = threading.Event()
+
+    def watch():
+        if not done.wait(seconds):
+            print(json.dumps({
+                "metric": "pointnet2_sem_seg_inference_points_per_sec",
+                "value": 0.0,
+                "unit": "points/sec",
+                "vs_baseline": 0.0,
+                "error": "device warmup exceeded %ds (tpu tunnel "
+                         "unreachable?)" % int(seconds),
+            }), flush=True)
+            os._exit(0)
+
+    threading.Thread(target=watch, daemon=True).start()
+    return done
+
+
 def main():
     from tumseg import models
 
@@ -40,6 +67,10 @@ def main():
     N = int(os.environ.get("TUMSEG_BENCH_N", "4096"))
     iters = int(os.environ.get("TUMSEG_BENCH_ITERS", "30"))
     use_bf16 = os.environ.get("TUMSEG_BENCH_BF16", "1") == "1"
+
+    # arm before the first backend touch (PRNGKey/init hang when the
+    # tunnel is down, not just the first readback)
+    warm = _arm_init_watchdog()
 
     model = models.get_module("pointnet2_sem_seg")
     variables = model.init(jax.random.PRNGKey(0), 8, 0)
@@ -57,6 +88,7 @@ def main():
     # compile + absorb the tunnel's one-time readback warmup
     out = forward(variables, x)
     float(jnp.sum(out))
+    warm.set()
     # steady-state scalar readback latency
     t0 = time.perf_counter()
     float(jnp.sum(out))
