@@ -70,9 +70,10 @@ def main():
         bench.run(f"bq_t {stage}",
                   lambda p, radius=radius, K=K, S=S: bq.query_ball_point_t(
                       radius, K, p, p[:, :S]), xyz)
-        for st in (128, 256):
-            if S < st:
-                continue
+        # clamp s_tile to S (query_ball_point_bp does the same) so small-S
+        # stages like sa3 (S=64) still get bp rows instead of being
+        # silently dropped from the A/B
+        for st in sorted({min(st, S) for st in (128, 256)}):
             bench.run(
                 f"bq_bp {stage} st{st}",
                 lambda p, radius=radius, K=K, S=S, st=st:

@@ -472,12 +472,18 @@ def test_ballquery_bitpacked_matches_row():
     np.testing.assert_array_equal(
         np.asarray(bq.query_ball_point_bp(0.3, 8, xyz, q)),
         np.asarray(bq.query_ball_point(0.3, 8, xyz, q)))
-    # two-level (summary bitmap) variant, engaged at N >= 1024
-    xyz = jnp.asarray(rng.random((1, 1024, 3)), jnp.float32)
-    q = xyz[:, :32, :]
-    np.testing.assert_array_equal(
-        np.asarray(bq.query_ball_point_bp(0.12, 8, xyz, q, 128, True)),
-        np.asarray(bq.query_ball_point(0.12, 8, xyz, q)))
+    # two-level (summary bitmap) variant, engaged at N >= 1024. N=1024 has
+    # a single summary word (Ws=1); N=2048/4096 exercise the multi-
+    # summary-word selection (ssel/srow min + summary-bit clear) that the
+    # production sa1 shape actually runs — a regression there would pass
+    # every Ws=1 test and only surface as wrong neighbors on device.
+    for n_bp2, s_bp2 in ((1024, 32), (2048, 48), (4096, 32)):
+        xyz = jnp.asarray(rng.random((1, n_bp2, 3)), jnp.float32)
+        q = xyz[:, :s_bp2, :]
+        np.testing.assert_array_equal(
+            np.asarray(bq.query_ball_point_bp(0.12, 8, xyz, q, 128, True)),
+            np.asarray(bq.query_ball_point(0.12, 8, xyz, q)),
+            err_msg=f"bp2 N={n_bp2}")
 
 
 def test_ballquery_bp_multi_matches_single():

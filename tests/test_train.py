@@ -480,6 +480,36 @@ def test_fit_superstep_end_to_end(tmp_path):
     assert engine._step_count == 6
 
 
+def test_fit_superstep_ragged_tail(tmp_path):
+    """fit(superstep=2) with a drop_last=False loader: 26 samples at B=4
+    yield six full batches and one ragged (2,)-batch. The ragged batch must
+    not be np.stack-ed with full ones — the buffer drains the pending group
+    per-step and the run completes (regression: ValueError mid-epoch)."""
+    from tumseg.data.device_sampler import DeviceSampleLoader
+
+    class _Ds:
+        room_idxs = np.zeros(26, np.int64)
+
+    model = models.get_module("pointnet_sem_seg")
+    engine = TrainEngine(model, num_classes=4, train_weights=np.ones(4),
+                         augment_rotate=True, seed=0, sampler=_toy_sampler())
+    engine.init_state(jax.random.PRNGKey(0), num_extra_features=0)
+    loader = DeviceSampleLoader(_Ds(), batch_size=4, shuffle=True, seed=0,
+                                drop_last=False)
+    eval_loader = DeviceSampleLoader(_Ds(), batch_size=4, shuffle=False,
+                                     drop_last=False)
+    logs = []
+    acc, ml, iou = fit(
+        engine, loader, eval_loader, start_epoch=0, end_epoch=1,
+        learning_rate=1e-3, lr_decay=0.7, step_size=10, batch_size=4,
+        num_point=128, checkpoints_dir=str(tmp_path),
+        model_name="/best_model.pth",
+        seg_label_to_cat={i: f"c{i}" for i in range(4)},
+        log_string=logs.append, superstep=2)
+    assert len(acc) == 1 and all(np.isfinite(v) for v in ml)
+    assert engine._step_count == 7  # 26 samples -> 6 full + 1 ragged batch
+
+
 def test_device_sampled_step_on_mesh():
     """The sampled train step runs under shard_map: room ids shard over the
     data axis, sampler tables replicate, per-device keys draw distinct

@@ -67,8 +67,10 @@ def _build_reblock_arrays(cells, block_points: int):
     ``order`` maps layout position -> index into ``cells``."""
     # grid_structure's contract: only non-empty cells are emitted — the
     # fill path divides by count, so an empty cell must fail loudly here
-    # rather than silently vote foreign points
-    assert all(int(c[0].size) > 0 for c in cells), "empty grid cell"
+    # rather than silently vote foreign points (ValueError, not assert:
+    # the check must survive `python -O`)
+    if any(int(c[0].size) == 0 for c in cells):
+        raise ValueError("empty grid cell passed to device re-blocking")
     nb_per_cell = [int(np.ceil(int(c[0].size) / block_points))
                    for c in cells]
     order = sorted(range(len(cells)), key=lambda i: nb_per_cell[i])

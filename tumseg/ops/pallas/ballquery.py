@@ -114,17 +114,7 @@ def _ballquery_kernel_t(radius: float, nsample: int, n_total: int,
     rows = lax.broadcasted_iota(jnp.int32, (N, S_t), dimension=0)
     krow = lax.broadcasted_iota(jnp.int32, (nsample, S_t), dimension=0)
 
-    s = xyz_ref[0, :, :]                                  # [N, 3]
-    sx = s[:, 0][:, None]
-    sy = s[:, 1][:, None]
-    sz = s[:, 2][:, None]
-    qx = qplane_ref[0, 0, :][None, :]                     # [1, S_t]
-    qy = qplane_ref[0, 1, :][None, :]
-    qz = qplane_ref[0, 2, :][None, :]
-    dx = sx - qx
-    dy = sy - qy
-    dz = sz - qz
-    d = dx * dx + dy * dy + dz * dz                       # [N, S_t]
+    d = _bp_distances(xyz_ref, qplane_ref)                # [N, S_t]
     masked = jnp.where(d <= radius * radius, rows, n_total)
 
     acc = jnp.zeros((nsample, S_t), dtype=jnp.int32)
@@ -255,8 +245,9 @@ def _bp_pack_and_peel(in_ball, nsample: int, n_total: int, two_level: bool):
 
 
 def _bp_distances(xyz_ref, qplane_ref):
-    """[N, S_t] squared distances, candidates on sublanes (same f32
-    rounding as _ballquery_kernel_t so indices stay bit-identical)."""
+    """[N, S_t] squared distances, candidates on sublanes. Shared by the
+    transposed (_ballquery_kernel_t) and bit-packed (_ballquery_kernel_bp*)
+    peels — their cross-variant bit-parity rests on one distance build."""
     s = xyz_ref[0, :, :]                                  # [N, 3]
     sx = s[:, 0][:, None]
     sy = s[:, 1][:, None]

@@ -411,6 +411,37 @@ class TrainEngine:
                                           self.base_key, count0)
 
 
+class _SuperstepBuffer:
+    """Groups same-shape room-id batches into k-step scanned dispatches.
+
+    Ragged batches (a ``drop_last=False`` loader tail) would break
+    ``np.stack``; when one arrives the pending group is drained through the
+    per-step executable first, so ``fit(superstep>1)`` accepts any loader.
+    ``add``/``drain`` return raw ``(loss, aux)`` device results — the multi
+    path's ``[k]``-shaped losses and the per-step path's scalars are both
+    consumed by the callers' ``jnp.sum``/``M.accumulate`` reductions."""
+
+    def __init__(self, k, multi_fn, step_fn):
+        self.k, self.multi_fn, self.step_fn = k, multi_fn, step_fn
+        self.buf = []
+
+    def add(self, room_ids, *args):
+        ids = np.asarray(room_ids)
+        out = self.drain(*args) if (self.buf and
+                                    ids.shape != self.buf[0].shape) else []
+        self.buf.append(ids)
+        if len(self.buf) == self.k:
+            loss, aux = self.multi_fn(np.stack(self.buf), *args)
+            self.buf = []
+            out.append((loss, aux))
+        return out
+
+    def drain(self, *args):
+        out = [self.step_fn(ids, *args) for ids in self.buf]
+        self.buf = []
+        return out
+
+
 def fit(engine: TrainEngine, train_loader, eval_loader, *, start_epoch: int,
         end_epoch: int, learning_rate: float, lr_decay: float, step_size: int,
         batch_size: int, num_point: int, checkpoints_dir, model_name: str,
@@ -437,21 +468,18 @@ def fit(engine: TrainEngine, train_loader, eval_loader, *, start_epoch: int,
         num_batches = len(train_loader)
         total_seen = 0
         losses, corrects = [], []
-        room_buf = []
+        room_buf = _SuperstepBuffer(superstep, engine.train_batch_rooms_multi,
+                                    engine.train_batch_rooms)
         t0 = time.time()
         for batch in train_loader:
             if isinstance(batch, RoomBatch):
                 # device pipeline: the batch exists only as room ids; blocks
                 # are sampled/featurized inside the step jit
                 if superstep > 1:
-                    room_buf.append(np.asarray(batch.room_ids))
                     total_seen += batch_size * num_point
-                    if len(room_buf) == superstep:
-                        l, c = engine.train_batch_rooms_multi(
-                            np.stack(room_buf), lr, momentum)
+                    for l, c in room_buf.add(batch.room_ids, lr, momentum):
                         losses.append(jnp.sum(l))
                         corrects.append(jnp.sum(c))
-                        room_buf = []
                     continue
                 loss, correct = engine.train_batch_rooms(batch.room_ids, lr,
                                                          momentum)
@@ -463,10 +491,9 @@ def fit(engine: TrainEngine, train_loader, eval_loader, *, start_epoch: int,
             losses.append(loss)
             corrects.append(correct)
             total_seen += batch_size * num_point
-        for ids in room_buf:  # epoch tail < superstep: per-step executable
-            loss, correct = engine.train_batch_rooms(ids, lr, momentum)
-            losses.append(loss)
-            corrects.append(correct)
+        for l, c in room_buf.drain(lr, momentum):  # epoch tail < superstep
+            losses.append(jnp.sum(l))
+            corrects.append(jnp.sum(c))
         loss_sum = float(jnp.sum(jnp.stack(losses))) if losses else 0.0
         total_correct = (int(jnp.sum(jnp.stack(corrects))) if corrects else 0)
         train_time = time.time() - t0
@@ -489,18 +516,15 @@ def fit(engine: TrainEngine, train_loader, eval_loader, *, start_epoch: int,
         tallies = M.zero_tallies(num_classes)
         eval_losses = []
         eval_seen = 0
-        eval_buf = []
+        eval_buf = _SuperstepBuffer(superstep, engine.eval_batch_rooms_multi,
+                                    engine.eval_batch_rooms)
         for batch in eval_loader:
             if isinstance(batch, RoomBatch):
                 if superstep > 1:
-                    eval_buf.append(np.asarray(batch.room_ids))
                     eval_seen += batch_size * num_point
-                    if len(eval_buf) == superstep:
-                        l, t = engine.eval_batch_rooms_multi(
-                            np.stack(eval_buf))
+                    for l, t in eval_buf.add(batch.room_ids):
                         eval_losses.append(jnp.sum(l))
                         tallies = M.accumulate(tallies, t)
-                        eval_buf = []
                     continue
                 loss, t = engine.eval_batch_rooms(batch.room_ids)
             else:
@@ -508,9 +532,8 @@ def fit(engine: TrainEngine, train_loader, eval_loader, *, start_epoch: int,
             eval_losses.append(loss)  # device-side; fenced once below
             tallies = M.accumulate(tallies, t)
             eval_seen += batch_size * num_point
-        for ids in eval_buf:  # tail: per-step executable
-            loss, t = engine.eval_batch_rooms(ids)
-            eval_losses.append(loss)
+        for l, t in eval_buf.drain():  # tail: per-step executable
+            eval_losses.append(jnp.sum(l))
             tallies = M.accumulate(tallies, t)
         eval_loss_sum = (float(jnp.sum(jnp.stack(eval_losses)))
                          if eval_losses else 0.0)
