@@ -11,6 +11,17 @@ pays a large one-time connection warmup. Since a device executes enqueued
 programs in order, we time N dispatches followed by a single scalar readback
 (steady-state readback latency is measured and subtracted).
 
+Outage handling: the axon tunnel goes down for hours at a time and backend
+init then either HANGS (observed 2026-08-17) or RAISES UNAVAILABLE
+(observed at the round-3 close, BENCH_r03.json rc=1). Both must still
+produce one parseable JSON line with rc=0, so the measurement runs in a
+CHILD process (TUMSEG_BENCH_CHILD=1) while the parent retries failed
+attempts inside a bounded window (TUMSEG_BENCH_RETRY_WINDOW, default 900 s)
+and emits a zero-value JSON line with an "error" field if every attempt
+fails. A hang inside the child is bounded twice: by the child's own init
+watchdog (TUMSEG_BENCH_INIT_TIMEOUT) and by the parent's per-attempt
+timeout (TUMSEG_BENCH_ATTEMPT_TIMEOUT).
+
 vs_baseline compares against the PyTorch reference running the same forward
 (models/pointnet2_sem_seg.get_model(8,0).eval(), 4096 pts/block, 6 ch, CPU):
 7,649 points/sec measured 2026-08-16 in this container (see BASELINE.md).
@@ -18,50 +29,65 @@ vs_baseline compares against the PyTorch reference running the same forward
 
 import json
 import os
+import subprocess
+import sys
 import threading
 import time
 
-import jax
-import jax.numpy as jnp
-import numpy as np
-
-# persistent compile cache: the tunneled remote-compile path is slow, and
-# repeated bench invocations hit identical HLO
-from tumseg.utils.cache import enable_compile_cache  # noqa: E402
-
-enable_compile_cache()
-
+METRIC = "pointnet2_sem_seg_inference_points_per_sec"
 TORCH_CPU_REFERENCE_POINTS_PER_SEC = 7649.0  # measured anchor, BASELINE.md
 
+
+def _error_line(msg):
+    return json.dumps({
+        "metric": METRIC,
+        "value": 0.0,
+        "unit": "points/sec",
+        "vs_baseline": 0.0,
+        "error": msg,
+    })
+
+
+# ---------------------------------------------------------------- child ---
 
 def _arm_init_watchdog():
     """Bound the first device touch: backend init through the axon tunnel
     hangs forever when the tunnel is down (observed 2026-08-17/18). If the
     warmup (init + first compile + first readback — worst case ~5-10 min
     cold) hasn't completed within TUMSEG_BENCH_INIT_TIMEOUT seconds
-    (default 1800), print an explicit zero-value JSON line so the driver
-    records *why* instead of hanging its round-close run."""
+    (default 1800), print an explicit zero-value JSON line so the parent
+    records *why* instead of hanging."""
     seconds = float(os.environ.get("TUMSEG_BENCH_INIT_TIMEOUT", "1800"))
     done = threading.Event()
 
     def watch():
         if not done.wait(seconds):
-            print(json.dumps({
-                "metric": "pointnet2_sem_seg_inference_points_per_sec",
-                "value": 0.0,
-                "unit": "points/sec",
-                "vs_baseline": 0.0,
-                "error": "device warmup exceeded %ds (tpu tunnel "
-                         "unreachable?)" % int(seconds),
-            }), flush=True)
+            print(_error_line("device warmup exceeded %ds (tpu tunnel "
+                              "unreachable?)" % int(seconds)), flush=True)
             os._exit(0)
 
     threading.Thread(target=watch, daemon=True).start()
     return done
 
 
-def main():
+def _child_main():
+    import jax
+
+    if os.environ.get("TUMSEG_BENCH_CPU") == "1":
+        # cross-check mode (BASELINE.md "tumseg on the container CPU"):
+        # must run before first backend use; the sitecustomize pre-import
+        # pins jax_platforms=axon,cpu so plain env vars are ignored
+        jax.config.update("jax_platforms", "cpu")
+
+    import jax.numpy as jnp
+    import numpy as np
+
+    # persistent compile cache: the tunneled remote-compile path is slow,
+    # and repeated bench invocations hit identical HLO
+    from tumseg.utils.cache import enable_compile_cache
     from tumseg import models
+
+    enable_compile_cache()
 
     B = int(os.environ.get("TUMSEG_BENCH_B", "32"))
     N = int(os.environ.get("TUMSEG_BENCH_N", "4096"))
@@ -71,6 +97,12 @@ def main():
     # arm before the first backend touch (PRNGKey/init hang when the
     # tunnel is down, not just the first readback)
     warm = _arm_init_watchdog()
+
+    if os.environ.get("TUMSEG_BENCH_FORCE_FAIL"):
+        # outage simulation hook for tests/test_bench_outage.py: mimics the
+        # exception seen at the round-3 close before any device is touched
+        raise RuntimeError(
+            "Unable to initialize backend 'axon': UNAVAILABLE (simulated)")
 
     model = models.get_module("pointnet2_sem_seg")
     variables = model.init(jax.random.PRNGKey(0), 8, 0)
@@ -102,11 +134,81 @@ def main():
 
     pps = B * N / per_iter
     print(json.dumps({
-        "metric": "pointnet2_sem_seg_inference_points_per_sec",
+        "metric": METRIC,
         "value": round(pps, 1),
         "unit": "points/sec",
         "vs_baseline": round(pps / TORCH_CPU_REFERENCE_POINTS_PER_SEC, 2),
-    }))
+    }), flush=True)
+
+
+# --------------------------------------------------------------- parent ---
+
+def _parse_result(stdout):
+    """Last parseable JSON line with our metric, or None."""
+    for line in reversed(stdout.splitlines()):
+        line = line.strip()
+        if not line.startswith("{"):
+            continue
+        try:
+            obj = json.loads(line)
+        except ValueError:
+            continue
+        if obj.get("metric") == METRIC:
+            return obj
+    return None
+
+
+def _parent_main():
+    window = float(os.environ.get("TUMSEG_BENCH_RETRY_WINDOW", "900"))
+    interval = float(os.environ.get("TUMSEG_BENCH_RETRY_INTERVAL", "60"))
+    attempt_timeout = float(
+        os.environ.get("TUMSEG_BENCH_ATTEMPT_TIMEOUT", "2400"))
+
+    env = dict(os.environ, TUMSEG_BENCH_CHILD="1")
+    deadline = time.monotonic() + window
+    attempt = 0
+    last_error = "no attempt ran"
+    while True:
+        attempt += 1
+        try:
+            proc = subprocess.run(
+                [sys.executable, os.path.abspath(__file__)],
+                env=env, capture_output=True, text=True,
+                timeout=attempt_timeout)
+            if proc.stderr:
+                sys.stderr.write(proc.stderr)
+            result = _parse_result(proc.stdout)
+            if result is not None and result.get("value", 0) > 0:
+                print(json.dumps(result), flush=True)
+                return
+            if result is not None and result.get("error"):
+                last_error = result["error"]
+            elif proc.returncode != 0:
+                tail = proc.stderr.strip().splitlines()
+                last_error = ("child rc=%d: %s"
+                              % (proc.returncode,
+                                 tail[-1] if tail else "no stderr"))
+            else:
+                last_error = "child produced no result line"
+        except subprocess.TimeoutExpired:
+            last_error = ("child attempt exceeded %ds (tpu tunnel "
+                          "unreachable?)" % int(attempt_timeout))
+        if time.monotonic() >= deadline:
+            break
+        sys.stderr.write("bench attempt %d failed (%s); retrying for up to "
+                         "%.0fs more\n"
+                         % (attempt, last_error,
+                            deadline - time.monotonic()))
+        time.sleep(min(interval, max(0.0, deadline - time.monotonic())))
+    print(_error_line("%s (after %d attempt(s) over %.0fs retry window)"
+                      % (last_error, attempt, window)), flush=True)
+
+
+def main():
+    if os.environ.get("TUMSEG_BENCH_CHILD") == "1":
+        _child_main()
+    else:
+        _parent_main()
 
 
 if __name__ == "__main__":

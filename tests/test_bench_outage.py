@@ -1,0 +1,56 @@
+"""bench.py must survive a TPU-tunnel outage: when backend init *raises*
+(the round-3 failure mode — BENCH_r03.json recorded rc=1 with a raw
+UNAVAILABLE traceback), the driver command must still get rc=0 and one
+parseable JSON line with an error field.
+
+The outage is simulated via TUMSEG_BENCH_FORCE_FAIL=1, which makes the
+child raise the exact RuntimeError the axon backend raised, before any
+device is touched (so this test runs without a TPU)."""
+
+import json
+import os
+import subprocess
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+BENCH = os.path.join(REPO, "bench.py")
+
+
+def _run_bench(extra_env):
+    env = dict(os.environ, **extra_env)
+    return subprocess.run([sys.executable, BENCH], env=env,
+                          capture_output=True, text=True, timeout=300)
+
+
+def _last_json_line(stdout):
+    lines = [ln for ln in stdout.splitlines() if ln.strip().startswith("{")]
+    assert lines, "no JSON line in bench stdout: %r" % stdout
+    return json.loads(lines[-1])
+
+
+def test_backend_init_exception_yields_rc0_and_json():
+    proc = _run_bench({
+        "TUMSEG_BENCH_FORCE_FAIL": "1",
+        "TUMSEG_BENCH_RETRY_WINDOW": "0",  # single attempt, no waiting
+    })
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    obj = _last_json_line(proc.stdout)
+    assert obj["metric"] == "pointnet2_sem_seg_inference_points_per_sec"
+    assert obj["value"] == 0.0
+    assert obj["unit"] == "points/sec"
+    assert "UNAVAILABLE" in obj["error"]
+
+
+def test_retry_window_runs_multiple_attempts():
+    proc = _run_bench({
+        "TUMSEG_BENCH_FORCE_FAIL": "1",
+        "TUMSEG_BENCH_RETRY_WINDOW": "12",
+        "TUMSEG_BENCH_RETRY_INTERVAL": "0.1",
+    })
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    obj = _last_json_line(proc.stdout)
+    assert obj["value"] == 0.0
+    # "(after N attempt(s) ...)" with N >= 2 proves the retry loop engaged
+    n = int(obj["error"].split("after ")[1].split(" attempt")[0])
+    assert n >= 2, obj["error"]
+    assert "retrying" in proc.stderr
