@@ -51,6 +51,12 @@ def main():
     bench = Bench(args.iters, args.chain)
     r = np.random.default_rng(0)
 
+    def eff(two_level, N):
+        # bp2's summary level engages only when W = N/32 itself packs into
+        # words (N % 1024 == 0, N >= 1024); anywhere else the call runs the
+        # single-level bp peel — label rows with what actually executed
+        return "bp2" if (two_level and N >= 1024 and N % 1024 == 0) else "bp"
+
     for stage in args.stages.split(","):
         B, N, S, K, radius = shapes[stage]
         xyz = np.asarray(r.random((B, N, 3)), np.float32)
@@ -80,7 +86,7 @@ def main():
                 bq.query_ball_point_bp(radius, K, p, p[:, :S], st), xyz)
             if N >= 1024:
                 bench.run(
-                    f"bq_bp2 {stage} st{st}",
+                    f"bq_bp2 {stage} st{st} eff={eff(True, N)}",
                     lambda p, radius=radius, K=K, S=S, st=st:
                     bq.query_ball_point_bp(radius, K, p, p[:, :S], st, True),
                     xyz)
@@ -108,7 +114,7 @@ def main():
         xyz = jnp.asarray(xyz)
         q = xyz[:, :S, :]
         for tl in (False, True):
-            tag = "bp2" if tl else "bp"
+            tag = eff(tl, N)
             ref = [bq.query_ball_point_bp(rad, K, xyz, q, 128, tl)
                    for rad, K in zip(radii, Ks)]
             got = bq.query_ball_point_bp_multi(radii, Ks, xyz, q, 128, tl)

@@ -344,3 +344,35 @@ def test_jitter_scale_shift_shapes(rng):
     assert d.shape == pts.shape
     nd = augment.normalize_data(pts)
     assert np.sqrt((nd ** 2).sum(-1)).max() <= 1.0 + 1e-5
+
+
+def test_grid_structure_concurrent_insert_evict():
+    """Hammer grid_structure from two threads walking different scenes (the
+    run_testing main/prefetch pattern): the eviction list-comp must not see
+    a concurrent insert (pre-fix: RuntimeError 'dictionary changed size
+    during iteration'; advisor r3 finding)."""
+    import threading as _th
+
+    r = np.random.default_rng(5)
+    ds = TestGridDataset(block_points=64, stride=0.5, block_size=1.0,
+                         padding=0.001)
+    ds.scene_points_list = [np.concatenate(
+        [r.uniform(0, 2.0, (400, 3)), r.uniform(0, 1, (400, 3))], axis=1)
+        for _ in range(12)]
+    scenes = ds.scene_points_list
+    errs = []
+
+    def walk(offset):
+        try:
+            for _ in range(6):
+                for i in range(len(scenes)):
+                    ds.grid_structure((i + offset) % len(scenes))
+        except Exception as e:  # noqa: BLE001 - recorded for the assert
+            errs.append(e)
+
+    threads = [_th.Thread(target=walk, args=(o,)) for o in (0, 1)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert not errs, errs

@@ -225,3 +225,21 @@ def test_sparse_room_cap_floor():
     # draws are real points of the room (duplicated with replacement)
     assert np.isfinite(bpts).all()
     assert (blab >= 0).all() and (blab < 8).all()
+
+
+def test_too_small_room_raises_at_build_time():
+    """A room with <= min_block_points total points can never satisfy the
+    accept rule (cnt > min_block_points), so the on-device rejection
+    while_loop would spin forever inside the train-step jit. The sampler
+    must refuse it on host, at build time, with a clear message."""
+    r = np.random.default_rng(3)
+    small = np.stack([r.uniform(0, 1, 150), r.uniform(0, 1, 150),
+                      r.uniform(0, 1, 150)], axis=1)
+    dense = _dense_rooms()[0][0]
+    with pytest.raises(ValueError, match="min_block_points"):
+        DeviceBlockSampler([dense, small],
+                           [np.zeros(len(dense), np.int64),
+                            np.zeros(150, np.int64)],
+                           [[], []], color_flags=[],
+                           num_point=64, block_size=1.0,
+                           min_block_points=MIN_PTS)

@@ -26,6 +26,7 @@ gather work; devices only ever see fixed-shape [B, num_point, C] batches.
 from __future__ import annotations
 
 import pickle
+import threading
 from typing import List, Optional, Sequence
 
 import numpy as np
@@ -360,19 +361,21 @@ class TestGridDataset:
                     continue
                 cells.append((point_idxs, s_x, s_y))
 
-        cache[index] = (self.scene_points_list[index], cells)
         # bounded cache: scenes are processed sequentially and run_testing
         # prefetches scene N+1 while N is voting, so keep only the inserted
         # scene's immediate neighbours — per-cell index lists duplicate
         # overlapping stride cells (several bytes/point/overlap) and an
         # unbounded dict would grow with dataset size. Neighbour keys are
         # never evicted by each other, so the prefetch win is preserved.
-        # pop(, None): the prefetch thread and the main thread can both miss
-        # the memo for the same scene (few-vote scenes), both rebuild, and
-        # both compute the same stale list — a bare `del` would KeyError in
-        # whichever thread loses the race.
-        for stale in [k for k in cache if abs(k - index) > 1]:
-            cache.pop(stale, None)
+        # Lock: the prefetch thread builds scene N+1 while the main thread
+        # builds N; an insert during the eviction list-comp's iteration
+        # would raise "dictionary changed size during iteration", so
+        # insert+evict are one critical section (reads stay lockless).
+        lock = self.__dict__.setdefault("_grid_cache_lock", threading.Lock())
+        with lock:
+            cache[index] = (self.scene_points_list[index], cells)
+            for stale in [k for k in cache if abs(k - index) > 1]:
+                del cache[stale]
         return cells
 
     def grid_indices(self, index):
@@ -518,6 +521,7 @@ class TestGridDataset:
         state = self.__dict__.copy()
         state.pop("_rng", None)
         state.pop("_grid_cache", None)  # derived; rebuilt lazily
+        state.pop("_grid_cache_lock", None)  # unpicklable; remade lazily
         with open(file_path, "wb") as f:
             pickle.dump(state, f)
 

@@ -127,6 +127,19 @@ class DeviceBlockSampler:
         for r in range(len(room_points)):
             pts = np.asarray(room_points[r], dtype=np.float64)[:, :3]
             n = pts.shape[0]
+            if n <= self.min_block_points:
+                # cheap necessary condition for the on-device rejection
+                # sampler to terminate: a block's count can never exceed
+                # the room's total, so _sample_one's while_loop (accept
+                # iff cnt > min_block_points) would spin forever inside
+                # the train-step jit with no diagnostic — fail on host
+                # at build time instead
+                raise ValueError(
+                    "room %d has %d points <= min_block_points=%d; the "
+                    "device rejection sampler could never accept a block "
+                    "from it and would hang the dispatch. Drop the room "
+                    "or lower min_block_points." % (r, n,
+                                                    self.min_block_points))
             cmin = pts.min(axis=0)
             cmax = pts.max(axis=0)
             nbx = int(np.floor((cmax[0] - cmin[0]) / w)) + 1

@@ -124,7 +124,9 @@ _WINDOW = os.environ.get("TUMSEG_OPS_WINDOW", "0") == "1"
 # Ball-query kernel variant: "auto" = tiered-window at N>=4096, transposed
 # peel at N<=1024 (the measured round-3 winners); "bp"/"bp2" = the
 # bit-packed peel kernel (single/two-level) at every N % 32 == 0 shape
-# (opt-in until device-measured).
+# (opt-in until device-measured). NOTE: bp2's summary level needs
+# N % 1024 == 0 (W = N/32 must itself pack into words); at other shapes
+# "bp2" silently executes the single-level bp peel.
 _BQ_VARIANT = os.environ.get("TUMSEG_OPS_BQ", "auto")
 
 

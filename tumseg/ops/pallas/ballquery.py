@@ -297,7 +297,14 @@ def query_ball_point_bp(radius: float, nsample: int, xyz: jnp.ndarray,
                         new_xyz: jnp.ndarray,
                         s_tile: int = 128,
                         two_level: bool = False) -> jnp.ndarray:
-    """Bit-packed-peel query_ball_point (same contract as the row form)."""
+    """Bit-packed-peel query_ball_point (same contract as the row form).
+
+    ``two_level=True`` (the "bp2" variant) adds a summary bitmap over the
+    packed words, but that level only engages when W = N/32 is a multiple
+    of 32 and >= 32 — i.e. N % 1024 == 0 and N >= 1024. At any other shape
+    the call SILENTLY runs the single-level peel ("bp"), so A/B rows
+    labeled bp2 at such shapes measure bp (bitpack_probe.py prints the
+    effective variant per row)."""
     B, N, _ = xyz.shape
     S = new_xyz.shape[1]
     s_tile = min(s_tile, S)

@@ -347,9 +347,25 @@ class TrainEngine:
 
     # -- device-sampled steps (room ids in, nothing featurized on host) -----
 
+    def _check_mesh_divisible(self, b: int):
+        """Sharded room-id batches must tile the data axis: a ragged
+        drop_last=False tail (e.g. 26 samples at B=4 on 8 devices) would
+        otherwise die at dispatch with an opaque sharding error. The CLI
+        always drops the tail; direct fit() callers get a clear message."""
+        if self._batch_sharding is None:
+            return
+        ndev = self.mesh.shape[pmesh.DATA_AXIS]
+        if b % ndev != 0:
+            raise ValueError(
+                "room-id batch of %d rows cannot shard over the %d-device "
+                "'%s' mesh axis; use a drop_last=True loader (the CLI "
+                "default) or pad the tail to a multiple of %d"
+                % (b, ndev, pmesh.DATA_AXIS, ndev))
+
     def _put_rooms(self, room_ids):
         room_ids = jnp.asarray(room_ids, dtype=jnp.int32)
         if self._batch_sharding is not None:
+            self._check_mesh_divisible(room_ids.shape[0])
             room_ids = jax.device_put(room_ids, self._batch_sharding)
         return room_ids
 
@@ -375,6 +391,7 @@ class TrainEngine:
         room_ids_k = jnp.asarray(room_ids_k, dtype=jnp.int32)
         if self._batch_sharding is not None:
             from jax.sharding import NamedSharding, PartitionSpec as P
+            self._check_mesh_divisible(room_ids_k.shape[1])
             room_ids_k = jax.device_put(room_ids_k, NamedSharding(
                 self.mesh, P(None, pmesh.DATA_AXIS)))
         step0 = jnp.int32(self._step_count)
@@ -402,6 +419,7 @@ class TrainEngine:
         room_ids_k = jnp.asarray(room_ids_k, dtype=jnp.int32)
         if self._batch_sharding is not None:
             from jax.sharding import NamedSharding, PartitionSpec as P
+            self._check_mesh_divisible(room_ids_k.shape[1])
             room_ids_k = jax.device_put(room_ids_k, NamedSharding(
                 self.mesh, P(None, pmesh.DATA_AXIS)))
         count0 = jnp.int32(self._eval_count)
