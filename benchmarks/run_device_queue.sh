@@ -16,5 +16,6 @@ run() {
 run python benchmarks/bitpack_probe.py --facade --stages sa1,sa2,sa3
 run python benchmarks/bitpack_probe.py --stages sa1,sa2,sa3
 run python benchmarks/train_sustained.py --superstep 8
+run python benchmarks/serve_probe6.py
 run python benchmarks/ckpt_device_probe.py
 echo "QUEUE DONE $(date -u +%H:%M:%S)" | tee -a "$LOG"

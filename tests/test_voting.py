@@ -448,3 +448,63 @@ def test_runner_cache_concurrent_single_build():
         runner._cached(runner._scene_cache, ds, 0, bad_build)
     # the poisoned entry must not satisfy later lookups
     assert runner._cached(runner._scene_cache, ds, 0, lambda: 7) == 7
+
+
+def test_vote_scatter_modes_identical():
+    """DESIGN.md 2b: the three vote-accumulation lowerings (in-scan
+    scatter, post-scan sort+unique-scatter, post-scan bulk scatter) are the
+    same math — labels AND pools must be identical (same PRNG fold-ins ->
+    same blocks -> same predictions; accumulation is exact f32 counting)."""
+    from tumseg import models
+    from tumseg.infer.voting import InferenceRunner
+
+    ds = _tiny_scene()
+    model = models.get_module("pointnet_sem_seg")
+    variables = model.init(jax.random.PRNGKey(0), 8, 0)
+    labels = {}
+    for mode in ("scan", "sort", "bulk"):
+        r = InferenceRunner(model, variables, num_classes=8, batch_size=4,
+                            device_features=True, device_reblock=True)
+        r.vote_scatter = mode
+        labels[mode] = r.infer_scene(ds, 0, num_votes=2)
+    np.testing.assert_array_equal(labels["scan"], labels["sort"])
+    np.testing.assert_array_equal(labels["scan"], labels["bulk"])
+
+
+def test_vote_scatter_modes_on_mesh():
+    """The sort/bulk restructures keep the mesh path's psum merge: each
+    device aggregates its local blocks' keys, pools psum-merge — labels
+    must match the single-device scan path."""
+    from tumseg import models
+    from tumseg.infer.voting import InferenceRunner
+    from tumseg.parallel import make_mesh
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    ds = _tiny_scene()
+    model = models.get_module("pointnet_sem_seg")
+    variables = model.init(jax.random.PRNGKey(0), 8, 0)
+    base = InferenceRunner(model, variables, num_classes=8, batch_size=8,
+                           device_features=True, device_reblock=True)
+    want = base.infer_scene(ds, 0, num_votes=2)
+    for mode in ("sort", "bulk"):
+        r = InferenceRunner(model, variables, num_classes=8, batch_size=8,
+                            mesh=make_mesh(8), device_features=True,
+                            device_reblock=True)
+        r.vote_scatter = mode
+        np.testing.assert_array_equal(want, r.infer_scene(ds, 0,
+                                                          num_votes=2))
+
+
+def test_sorted_histogram_matches_bincount():
+    from tumseg.infer.voting import _sorted_histogram
+
+    r = np.random.default_rng(0)
+    keys = r.integers(0, 50, 4096).astype(np.int32)
+    got = np.asarray(_sorted_histogram(jnp.asarray(keys), 50))
+    np.testing.assert_array_equal(got, np.bincount(keys, minlength=50))
+    # all-identical keys (single run) and a single element
+    got = np.asarray(_sorted_histogram(jnp.full((64,), 7, jnp.int32), 50))
+    np.testing.assert_array_equal(got, np.where(np.arange(50) == 7, 64, 0))
+    got = np.asarray(_sorted_histogram(jnp.asarray([3], jnp.int32), 5))
+    np.testing.assert_array_equal(got, [0, 0, 0, 1, 0])

@@ -49,6 +49,27 @@ def _scatter_votes(pool: jnp.ndarray, point_idx: jnp.ndarray,
     return pool.at[flat_idx, flat_pred].add(flat_keep)
 
 
+def _sorted_histogram(keys: jnp.ndarray, out_len: int) -> jnp.ndarray:
+    """Count occurrences of each key in [0, out_len) WITHOUT a
+    duplicate-index scatter (DESIGN.md 2b): one ascending sort, per-run
+    counts at run ends, then a scatter whose in-range indices are UNIQUE
+    (every non-end position targets the out-of-range sentinel and is
+    dropped), so the scatter-add has no duplicate serialization."""
+    m = keys.shape[0]
+    sk = jnp.sort(keys)
+    iota = jnp.arange(m, dtype=jnp.int32)
+    boundary = sk[1:] != sk[:-1]
+    new_run = jnp.concatenate([jnp.ones((1,), bool), boundary])
+    # index of each element's run start: cummax of (iota where run starts)
+    start = jax.lax.associative_scan(jnp.maximum,
+                                     jnp.where(new_run, iota, 0))
+    is_end = jnp.concatenate([boundary, jnp.ones((1,), bool)])
+    counts = (iota - start + 1).astype(jnp.float32)
+    tgt = jnp.where(is_end, sk, out_len)
+    return jnp.zeros((out_len,), jnp.float32).at[tgt].add(
+        jnp.where(is_end, counts, 0.0), mode="drop", unique_indices=True)
+
+
 def _build_reblock_arrays(cells, block_points: int):
     """Host-side one-time flats for DEVICE re-blocking: concatenate every
     cell's candidates padded to a block_points multiple (zeros in the
@@ -197,6 +218,21 @@ class InferenceRunner:
         if window_ops == "auto":
             window_ops = False
         self.window_ops = bool(window_ops)
+        # vote accumulation inside the scan (DESIGN.md 2b A/B):
+        #   "scan" = per-chunk flat scatter-add carried through the scan
+        #            (the r2/r3 measured configuration);
+        #   "sort" = scan outputs predictions, then one post-scan sort +
+        #            unique-index run-count scatter (_sorted_histogram);
+        #   "bulk" = scan outputs predictions, then one big scatter-add.
+        # "auto" resolves to "scan" until a device A/B says otherwise
+        # (benchmarks/serve_probe6.py). All three are pool-identical —
+        # pinned by tests/test_voting.py.
+        vote_scatter = os.environ.get("TUMSEG_VOTE_SCATTER", "auto")
+        if vote_scatter == "auto":
+            vote_scatter = "scan"
+        if vote_scatter not in ("scan", "sort", "bulk"):
+            raise ValueError(f"unknown vote_scatter mode {vote_scatter!r}")
+        self.vote_scatter = vote_scatter
         self._base_key = jax.random.PRNGKey(int(seed))
         self._scene_cache = {}
         self._grid_cache = {}
@@ -448,44 +484,71 @@ class InferenceRunner:
         into a full-size local pool replica, and one psum merges the pools
         (vote counts are small integers in f32, so the add order across
         devices cannot change the result)."""
-        cache_key = (float(block_size), n_feat_extra, self.batch_size)
+        cache_key = (float(block_size), n_feat_extra, self.batch_size,
+                     self.vote_scatter)
         if cache_key in self._vote_fn_cache:
             return self._vote_fn_cache[cache_key]
 
         forward_featurized = self._forward_featurized_fn
         bs = self.batch_size
         C = self.num_classes
+        mode = self.vote_scatter
 
         def scan_votes(variables, scene_xyz, scene_extra, coord_max,
                        color_mask, idx_all, offs_all, pool_flat, bs_n):
-            # pool is carried FLAT [(N+1)*C]: the 1-D scatter-add lowers
-            # ~1.7x faster than the 2-D (idx, pred) form (benchmarks/
+            # pool is FLAT [(N+1)*C]: the 1-D scatter-add lowers ~1.7x
+            # faster than the 2-D (idx, pred) form (benchmarks/
             # serve_probe2.py: 458 vs 510 ms/vote at 1M points)
-            def body(pool_flat, chunk):
-                idx, offs = chunk
-
-                def run(p):
-                    pred = forward_featurized(
-                        variables, scene_xyz, scene_extra, coord_max,
-                        color_mask,
-                        jnp.minimum(idx, scene_xyz.shape[0] - 1),
-                        offs, block_size)
-                    flat = idx.reshape(-1) * C + pred.reshape(-1)
-                    return p.at[flat].add(1.0)
-
-                # chunks that exist only for the compile-sharing block
-                # granule (all idx == n_pad) skip the forward entirely
-                all_dummy = jnp.min(idx) >= scene_xyz.shape[0]
-                pool_flat = jax.lax.cond(all_dummy, lambda p: p, run,
-                                         pool_flat)
-                return pool_flat, None
-
             nchunks = idx_all.shape[0] // bs_n
-            pool_flat, _ = jax.lax.scan(
-                body, pool_flat,
-                (idx_all.reshape(nchunks, bs_n, -1),
-                 offs_all.reshape(nchunks, bs_n, 2)))
-            return pool_flat
+            chunks = (idx_all.reshape(nchunks, bs_n, -1),
+                      offs_all.reshape(nchunks, bs_n, 2))
+
+            def predict(idx, offs):
+                return forward_featurized(
+                    variables, scene_xyz, scene_extra, coord_max,
+                    color_mask,
+                    jnp.minimum(idx, scene_xyz.shape[0] - 1),
+                    offs, block_size)
+
+            # chunks that exist only for the compile-sharing block granule
+            # (all idx == n_pad) skip the forward entirely via lax.cond
+            def all_dummy(idx):
+                return jnp.min(idx) >= scene_xyz.shape[0]
+
+            if mode == "scan":
+                def body(pool_flat, chunk):
+                    idx, offs = chunk
+
+                    def run(p):
+                        pred = predict(idx, offs)
+                        flat = idx.reshape(-1) * C + pred.reshape(-1)
+                        return p.at[flat].add(1.0)
+
+                    return jax.lax.cond(all_dummy(idx), lambda p: p, run,
+                                        pool_flat), None
+
+                pool_flat, _ = jax.lax.scan(body, pool_flat, chunks)
+                return pool_flat
+
+            # "sort"/"bulk" (DESIGN.md 2b): the scan only COLLECTS each
+            # chunk's flat vote keys; accumulation happens once post-scan —
+            # dummy chunks emit key n_pad*C + 0, which lands in the same
+            # dump row their scatter would have
+            def body(_, chunk):
+                idx, offs = chunk
+                # dummy branch derives from idx (not jnp.zeros) so both
+                # cond branches carry the same shard_map varying-axes type
+                pred = jax.lax.cond(
+                    all_dummy(idx),
+                    lambda: idx * 0,
+                    lambda: predict(idx, offs))
+                return None, (idx.reshape(-1) * C + pred.reshape(-1))
+
+            _, keys = jax.lax.scan(body, None, chunks)
+            keys = keys.reshape(-1)
+            if mode == "bulk":
+                return pool_flat.at[keys].add(1.0)
+            return pool_flat + _sorted_histogram(keys, pool_flat.shape[0])
 
         if self.mesh is None:
             @partial(jax.jit, donate_argnums=(7,))
