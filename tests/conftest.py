@@ -19,11 +19,16 @@ if os.environ.get("TUMSEG_TEST_TPU") != "1":
         jax.config.update("jax_platforms", "cpu")
     except Exception:  # pragma: no cover - backend already initialized
         pass
-    try:  # persistent compile cache: repeated suite runs skip recompiles
-        jax.config.update("jax_compilation_cache_dir", "/tmp/tumseg_jax_cache")
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
-    except Exception:  # pragma: no cover
-        pass
+
+import jax  # noqa: E402
+
+try:  # persistent compile cache: repeated suite runs skip recompiles; on
+    # hardware (TUMSEG_TEST_TPU=1) this matters even more — each compile
+    # goes through the image's slow remote-compile helper (~1-2 min)
+    jax.config.update("jax_compilation_cache_dir", "/tmp/tumseg_jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+except Exception:  # pragma: no cover
+    pass
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402

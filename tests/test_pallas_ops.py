@@ -1,6 +1,8 @@
 """Pallas kernel parity tests (run in interpreter mode on CPU; the same
 kernels compile natively on TPU where the dispatcher selects them)."""
 
+import os
+
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -11,7 +13,13 @@ from tumseg.ops import core as xla_ops
 
 @pytest.fixture(autouse=True)
 def _interpret_mode():
-    """Pallas TPU kernels run under the interpreter on CPU."""
+    """Pallas TPU kernels run under the interpreter on CPU. With
+    TUMSEG_TEST_TPU=1 (hardware suite run, conftest.py) the kernels
+    compile natively through Mosaic instead — the point of that mode is
+    device evidence, so interpretation must NOT be forced there."""
+    if os.environ.get("TUMSEG_TEST_TPU") == "1":
+        yield
+        return
     from jax.experimental.pallas import tpu as pltpu
 
     with pltpu.force_tpu_interpret_mode():
