@@ -4,11 +4,30 @@
 # /tmp/device_queue.log. Routing decisions (DEVICE_TODO step 2) and the
 # final bench.py/voting_bench.py headline runs happen AFTER reading these
 # results — don't add them here.
+#
+# Outage hardening: the axon tunnel flaps for hours at a time and a downed
+# tunnel makes backend init HANG (not fail). Each step therefore only runs
+# after a cheap bounded probe confirms the tunnel answers; if the tunnel
+# drops mid-queue, the remaining steps are skipped in seconds instead of
+# each burning its full timeout. Probe compiles nothing (device_count only).
 set -u
 cd "$(dirname "$0")/.."
 LOG=/tmp/device_queue.log
 : > "$LOG"
+probe() {
+  # Must see a NON-cpu device: the sitecustomize pins jax_platforms=axon,cpu
+  # and a cpu-only fallback would wave the queue through with no TPU.
+  timeout "${TUMSEG_QUEUE_PROBE_TIMEOUT:-300}" python - <<'EOF' >/dev/null 2>&1
+import jax
+assert any(d.platform != "cpu" for d in jax.devices())
+EOF
+}
 run() {
+  if ! probe; then
+    echo "=== SKIP (tunnel down at probe): $* — $(date -u +%H:%M:%S) ===" \
+      | tee -a "$LOG"
+    return 1
+  fi
   echo "=== $* — $(date -u +%H:%M:%S) ===" | tee -a "$LOG"
   timeout 3600 "$@" 2>&1 | tee -a "$LOG"
   echo "=== exit $? ===" | tee -a "$LOG"
@@ -27,8 +46,12 @@ echo "QUEUE DONE $(date -u +%H:%M:%S)" | tee -a "$LOG"
 # Full kernel+parity suite ON HARDWARE — VERDICT r3 item 4 (weak #4).
 # Last because remote compiles of the tests' small cache-cold shapes can
 # take a long time; a timeout here must not cost the measurements above.
-echo "=== TPU suite — $(date -u +%H:%M:%S) ===" | tee -a "$LOG"
-timeout 7200 env TUMSEG_TEST_TPU=1 \
-  python -m pytest tests/test_pallas_ops.py tests/test_parity_torch.py -q \
-  2>&1 | tee -a "$LOG"
-echo "=== TPU suite exit $? — $(date -u +%H:%M:%S) ===" | tee -a "$LOG"
+if probe; then
+  echo "=== TPU suite — $(date -u +%H:%M:%S) ===" | tee -a "$LOG"
+  timeout 7200 env TUMSEG_TEST_TPU=1 \
+    python -m pytest tests/test_pallas_ops.py tests/test_parity_torch.py -q \
+    2>&1 | tee -a "$LOG"
+  echo "=== TPU suite exit $? — $(date -u +%H:%M:%S) ===" | tee -a "$LOG"
+else
+  echo "=== SKIP TPU suite (tunnel down at probe) ===" | tee -a "$LOG"
+fi
