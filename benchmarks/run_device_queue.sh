@@ -32,6 +32,10 @@ run() {
   timeout 3600 "$@" 2>&1 | tee -a "$LOG"
   echo "=== exit $? ===" | tee -a "$LOG"
 }
+# Flagship headline FIRST: if the tunnel only stays up briefly, a fresh
+# driver-parseable bench line + a warm compile cache for the driver's
+# round-close bench run is worth more than any probe.
+run env TUMSEG_BENCH_RETRY_WINDOW=0 python bench.py
 run python benchmarks/bitpack_probe.py --facade --stages sa1,sa2,sa3
 run python benchmarks/bitpack_probe.py --stages sa1,sa2,sa3
 run python benchmarks/train_sustained.py --superstep 8
