@@ -173,6 +173,21 @@ def _parse_result(stdout):
     return None
 
 
+# Error shapes worth retrying: outages/hangs of the tunneled backend.
+# Anything else (bad TUMSEG_BENCH_MODEL, ImportError, a real bug) fails
+# identically on every attempt — retrying it burns the whole window for
+# an error that was certain on attempt 1.
+_TRANSIENT_MARKERS = ("UNAVAILABLE", "unreachable", "DEADLINE",
+                      "Unable to initialize backend", "failed to connect",
+                      "Socket closed", "warmup exceeded",
+                      "attempt exceeded", "not in the list of known "
+                      "backends")
+
+
+def _looks_transient(msg):
+    return any(m in msg for m in _TRANSIENT_MARKERS)
+
+
 def _parent_main():
     window = float(os.environ.get("TUMSEG_BENCH_RETRY_WINDOW", "900"))
     interval = float(os.environ.get("TUMSEG_BENCH_RETRY_INTERVAL", "60"))
@@ -205,6 +220,8 @@ def _parent_main():
                                  tail[-1] if tail else "no stderr"))
             else:
                 last_error = "child produced no result line"
+            if not _looks_transient(last_error):
+                break  # deterministic failure: every retry would repeat it
         except subprocess.TimeoutExpired:
             last_error = ("child attempt exceeded %ds (tpu tunnel "
                           "unreachable?)" % int(attempt_timeout))

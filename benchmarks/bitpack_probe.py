@@ -52,10 +52,9 @@ def main():
     r = np.random.default_rng(0)
 
     def eff(two_level, N):
-        # bp2's summary level engages only when W = N/32 itself packs into
-        # words (N % 1024 == 0, N >= 1024); anywhere else the call runs the
-        # single-level bp peel — label rows with what actually executed
-        return "bp2" if (two_level and N >= 1024 and N % 1024 == 0) else "bp"
+        # label rows with what actually executed: the kernel's own gate
+        # (ballquery.bp2_engages) is the single source of truth
+        return "bp2" if (two_level and bq.bp2_engages(N)) else "bp"
 
     for stage in args.stages.split(","):
         B, N, S, K, radius = shapes[stage]

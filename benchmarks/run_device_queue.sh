@@ -2,8 +2,9 @@
 # Run the measurement half of docs/DEVICE_TODO.md sequentially, one process
 # at a time (only one process may hold the tunneled TPU), tee-ing to
 # /tmp/device_queue.log. Routing decisions (DEVICE_TODO step 2) and the
-# final bench.py/voting_bench.py headline runs happen AFTER reading these
-# results — don't add them here.
+# routing-DEPENDENT headline runs (post-flip bench.py/voting_bench.py, the
+# MSG row) happen AFTER reading these results — don't add those here;
+# routing-independent rows (flagship warm-up, pointnet) are fine.
 #
 # Outage hardening: the axon tunnel flaps for hours at a time and a downed
 # tunnel makes backend init HANG (not fail). Each step therefore only runs
@@ -30,7 +31,9 @@ run() {
   fi
   echo "=== $* — $(date -u +%H:%M:%S) ===" | tee -a "$LOG"
   timeout 3600 "$@" 2>&1 | tee -a "$LOG"
-  echo "=== exit $? ===" | tee -a "$LOG"
+  # PIPESTATUS[0], not $?: the pipeline's $? is tee's (always 0), which
+  # would log timeouts/crashes as success in the unattended-run log
+  echo "=== exit ${PIPESTATUS[0]} ===" | tee -a "$LOG"
 }
 # Flagship headline FIRST: if the tunnel only stays up briefly, a fresh
 # driver-parseable bench line + a warm compile cache for the driver's

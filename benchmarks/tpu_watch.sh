@@ -14,6 +14,9 @@
 set -u
 cd "$(dirname "$0")/.."
 LOG=/tmp/tpu_watch.log
+if [ "${1:-}" = "--queue" ]; then
+  rm -f /tmp/autoqueue.done /tmp/autoqueue.out   # stale markers from a
+fi                                               # previous run would lie
 while true; do
   if timeout 300 python -c "import jax; d=jax.devices(); print('TPU UP:', d)" \
       >>"$LOG" 2>/dev/null; then

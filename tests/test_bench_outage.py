@@ -41,6 +41,21 @@ def test_backend_init_exception_yields_rc0_and_json():
     assert "UNAVAILABLE" in obj["error"]
 
 
+def test_deterministic_failure_breaks_retry_loop_immediately():
+    # a typo'd model name fails identically on every attempt — the parent
+    # must emit the error line after ONE attempt, not burn the window
+    proc = _run_bench({
+        "TUMSEG_BENCH_MODEL": "pointnet2_semseg_typo",
+        "TUMSEG_BENCH_RETRY_WINDOW": "600",
+        "TUMSEG_BENCH_RETRY_INTERVAL": "0.1",
+    })
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    obj = _last_json_line(proc.stdout)
+    assert obj["value"] == 0.0
+    n = int(obj["error"].split("after ")[1].split(" attempt")[0])
+    assert n == 1, obj["error"]
+
+
 def test_retry_window_runs_multiple_attempts():
     proc = _run_bench({
         "TUMSEG_BENCH_FORCE_FAIL": "1",

@@ -50,11 +50,16 @@ def _scatter_votes(pool: jnp.ndarray, point_idx: jnp.ndarray,
 
 
 def _sorted_histogram(keys: jnp.ndarray, out_len: int) -> jnp.ndarray:
-    """Count occurrences of each key in [0, out_len) WITHOUT a
-    duplicate-index scatter (DESIGN.md 2b): one ascending sort, per-run
-    counts at run ends, then a scatter whose in-range indices are UNIQUE
-    (every non-end position targets the out-of-range sentinel and is
-    dropped), so the scatter-add has no duplicate serialization."""
+    """Count occurrences of each key (all in [0, out_len) — the vote keys
+    idx*C + pred are bounded by the dump row) WITHOUT a duplicate-index
+    scatter (DESIGN.md 2b): one ascending sort, per-run counts at run ends,
+    then a scatter into a [out_len + m] scratch whose indices are ALL
+    unique and in range — run ends target their key (one per run), every
+    non-end position targets its own scratch slot out_len + i with a zero
+    update. unique_indices=True is therefore honest (a single
+    out-of-range sentinel shared by all non-ends would be undefined
+    behavior under that promise); the scatter-add has no duplicate
+    serialization and the scratch tail is sliced off."""
     m = keys.shape[0]
     sk = jnp.sort(keys)
     iota = jnp.arange(m, dtype=jnp.int32)
@@ -65,9 +70,11 @@ def _sorted_histogram(keys: jnp.ndarray, out_len: int) -> jnp.ndarray:
                                      jnp.where(new_run, iota, 0))
     is_end = jnp.concatenate([boundary, jnp.ones((1,), bool)])
     counts = (iota - start + 1).astype(jnp.float32)
-    tgt = jnp.where(is_end, sk, out_len)
-    return jnp.zeros((out_len,), jnp.float32).at[tgt].add(
-        jnp.where(is_end, counts, 0.0), mode="drop", unique_indices=True)
+    tgt = jnp.where(is_end, sk, out_len + iota)
+    hist = jnp.zeros((out_len + m,), jnp.float32).at[tgt].add(
+        jnp.where(is_end, counts, 0.0), mode="promise_in_bounds",
+        unique_indices=True)
+    return hist[:out_len]
 
 
 def _build_reblock_arrays(cells, block_points: int):

@@ -292,6 +292,16 @@ def _ballquery_kernel_bp_multi(radii, nsamples, n_total: int,
                                              two_level)
 
 
+def bp2_engages(n_points: int) -> bool:
+    """True when the two-level ("bp2") summary bitmap actually engages at
+    candidate count ``n_points`` — the single source of truth for the
+    _bp_pack_and_peel gate (W = N/32 must itself pack into words:
+    W % 32 == 0 and W >= 32). Probes/labels must query this instead of
+    re-deriving the condition (bitpack_probe.py)."""
+    w = n_points // 32
+    return n_points % 32 == 0 and w % 32 == 0 and w >= 32
+
+
 @functools.partial(jax.jit, static_argnums=(0, 1, 4, 5))
 def query_ball_point_bp(radius: float, nsample: int, xyz: jnp.ndarray,
                         new_xyz: jnp.ndarray,
@@ -300,11 +310,11 @@ def query_ball_point_bp(radius: float, nsample: int, xyz: jnp.ndarray,
     """Bit-packed-peel query_ball_point (same contract as the row form).
 
     ``two_level=True`` (the "bp2" variant) adds a summary bitmap over the
-    packed words, but that level only engages when W = N/32 is a multiple
-    of 32 and >= 32 — i.e. N % 1024 == 0 and N >= 1024. At any other shape
-    the call SILENTLY runs the single-level peel ("bp"), so A/B rows
-    labeled bp2 at such shapes measure bp (bitpack_probe.py prints the
-    effective variant per row)."""
+    packed words, but that level only engages when ``bp2_engages(N)``
+    (W = N/32 a multiple of 32 and >= 32 — i.e. N % 1024 == 0 and
+    N >= 1024). At any other shape the call SILENTLY runs the single-level
+    peel ("bp"), so A/B rows labeled bp2 at such shapes measure bp
+    (bitpack_probe.py prints the effective variant per row)."""
     B, N, _ = xyz.shape
     S = new_xyz.shape[1]
     s_tile = min(s_tile, S)
