@@ -53,14 +53,40 @@ _TORCH_CPU_ANCHORS = {
 TORCH_CPU_REFERENCE_POINTS_PER_SEC = _TORCH_CPU_ANCHORS.get(MODEL, 7649.0)
 
 
+def _last_measured():
+    """Provenance of the last live device measurement, from the
+    machine-readable marker in BASELINE.md (kept next to the headline
+    table). Lets a zero-value outage artifact still record honestly what
+    the framework measured the last time the tunnel answered, instead of
+    reading as 'the framework is broken'. Returns None if the marker is
+    absent/unparseable (never raises: this runs on the failure path)."""
+    try:
+        path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                            "BASELINE.md")
+        with open(path) as f:
+            for line in f:
+                if "last_measured:" in line:
+                    payload = line.split("last_measured:", 1)[1]
+                    payload = payload.rsplit("-->", 1)[0]
+                    obj = json.loads(payload)
+                    return obj.get(MODEL, obj) if MODEL in obj else None
+    except Exception:
+        pass
+    return None
+
+
 def _error_line(msg):
-    return json.dumps({
+    out = {
         "metric": METRIC,
         "value": 0.0,
         "unit": "points/sec",
         "vs_baseline": 0.0,
         "error": msg,
-    })
+    }
+    last = _last_measured()
+    if last:
+        out["last_measured"] = last
+    return json.dumps(out)
 
 
 # ---------------------------------------------------------------- child ---
@@ -118,6 +144,15 @@ def _child_main():
         # exception seen at the round-3 close before any device is touched
         raise RuntimeError(
             "Unable to initialize backend 'axon': UNAVAILABLE (simulated)")
+    if os.environ.get("TUMSEG_BENCH_FORCE_FAIL_RC1"):
+        # rc!=0 outage whose stderr ENDS with a markerless hint line (real
+        # jax init failures do this) — exercises the multi-line transient
+        # classification in the parent
+        sys.stderr.write(
+            "RuntimeError: Unable to initialize backend 'axon': "
+            "UNAVAILABLE (simulated)\n"
+            "For more information see https://docs.jax.dev/errors\n")
+        sys.exit(1)
 
     model = models.get_module(MODEL)
     variables = model.init(jax.random.PRNGKey(0), 8, 0)
@@ -212,15 +247,21 @@ def _parent_main():
                 print(json.dumps(result), flush=True)
                 return
             if result is not None and result.get("error"):
-                last_error = result["error"]
+                last_error = transient_probe = result["error"]
             elif proc.returncode != 0:
                 tail = proc.stderr.strip().splitlines()
                 last_error = ("child rc=%d: %s"
                               % (proc.returncode,
                                  tail[-1] if tail else "no stderr"))
+                # Classify against the last ~20 stderr lines, not just the
+                # one in last_error: real jax backend-init failures often
+                # end with a hint/URL line that carries no marker, and
+                # misclassifying an outage as deterministic skips the
+                # whole retry window.
+                transient_probe = "\n".join(tail[-20:])
             else:
-                last_error = "child produced no result line"
-            if not _looks_transient(last_error):
+                last_error = transient_probe = "child produced no result line"
+            if not _looks_transient(transient_probe):
                 break  # deterministic failure: every retry would repeat it
         except subprocess.TimeoutExpired:
             last_error = ("child attempt exceeded %ds (tpu tunnel "

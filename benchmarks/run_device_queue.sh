@@ -58,7 +58,8 @@ if probe; then
   timeout 7200 env TUMSEG_TEST_TPU=1 \
     python -m pytest tests/test_pallas_ops.py tests/test_parity_torch.py -q \
     2>&1 | tee -a "$LOG"
-  echo "=== TPU suite exit $? — $(date -u +%H:%M:%S) ===" | tee -a "$LOG"
+  # PIPESTATUS[0], not $? (tee's status, always 0) — same fix as run()
+  echo "=== TPU suite exit ${PIPESTATUS[0]} — $(date -u +%H:%M:%S) ===" | tee -a "$LOG"
 else
   echo "=== SKIP TPU suite (tunnel down at probe) ===" | tee -a "$LOG"
 fi

@@ -15,10 +15,16 @@ set -u
 cd "$(dirname "$0")/.."
 LOG=/tmp/tpu_watch.log
 if [ "${1:-}" = "--queue" ]; then
-  rm -f /tmp/autoqueue.done /tmp/autoqueue.out   # stale markers from a
-fi                                               # previous run would lie
+  # stale markers from a previous run (incl. one killed mid-queue, which
+  # leaves .running behind) would lie about the current state
+  rm -f /tmp/autoqueue.done /tmp/autoqueue.out /tmp/autoqueue.running
+fi
 while true; do
-  if timeout 300 python -c "import jax; d=jax.devices(); print('TPU UP:', d)" \
+  # Same STRICT probe as run_device_queue.sh: must see a NON-cpu device —
+  # the sitecustomize pins jax_platforms=axon,cpu and a cpu-only fallback
+  # would declare TPU UP, fire the queue, and every step would SKIP at its
+  # own strict probe, consuming the one unattended recovery shot.
+  if timeout 300 python -c "import jax; d=jax.devices(); assert any(x.platform != 'cpu' for x in d); print('TPU UP:', d)" \
       >>"$LOG" 2>/dev/null; then
     echo "TPU UP at $(date -u)" >>"$LOG"
     break

@@ -39,6 +39,42 @@ def test_backend_init_exception_yields_rc0_and_json():
     assert obj["value"] == 0.0
     assert obj["unit"] == "points/sec"
     assert "UNAVAILABLE" in obj["error"]
+    # outage provenance (VERDICT r4 item 4): a failed artifact still records
+    # the last live measurement from BASELINE.md's machine-readable marker
+    last = obj["last_measured"]
+    assert last["value"] > 1e6
+    assert last["unit"] == "points/sec"
+    assert last["date"] and last["commit"]
+
+
+def test_last_measured_absent_for_models_without_marker_row():
+    # the marker only carries the flagship; other models' error lines must
+    # simply omit the field rather than inherit the wrong provenance
+    proc = _run_bench({
+        "TUMSEG_BENCH_MODEL": "pointnet_sem_seg",
+        "TUMSEG_BENCH_FORCE_FAIL": "1",
+        "TUMSEG_BENCH_RETRY_WINDOW": "0",
+    })
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    obj = _last_json_line(proc.stdout)
+    assert obj["value"] == 0.0
+    assert "last_measured" not in obj
+
+
+def test_transient_marker_matched_beyond_last_stderr_line():
+    # ADVICE r4: a child that dies rc!=0 with the UNAVAILABLE marker NOT on
+    # the final stderr line (real jax failures end with a hint/URL line)
+    # must still be classified transient and retried
+    proc = _run_bench({
+        "TUMSEG_BENCH_FORCE_FAIL_RC1": "1",
+        "TUMSEG_BENCH_RETRY_WINDOW": "12",
+        "TUMSEG_BENCH_RETRY_INTERVAL": "0.1",
+    })
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    obj = _last_json_line(proc.stdout)
+    assert obj["value"] == 0.0
+    n = int(obj["error"].split("after ")[1].split(" attempt")[0])
+    assert n >= 2, "outage misclassified as deterministic: %s" % obj["error"]
 
 
 def test_deterministic_failure_breaks_retry_loop_immediately():
