@@ -46,6 +46,78 @@ def test_geometric_features_isolated_points():
     assert (lp == 0).all()
 
 
+def _reference_geometric_features(points, radius):
+    """The pre-vectorization per-point SVD loop, kept verbatim as the oracle
+    for the closed-form/reduceat path (matches geofunction.py:49-98 math)."""
+    from scipy.spatial import cKDTree
+    from tumseg.data.features import pca_eigenvalues
+    n = points.shape[0]
+    tree = cKDTree(points)
+    lp, lo, lc = np.zeros(n), np.zeros(n), np.zeros(n)
+    non = []
+    for i in range(n):
+        idx = tree.query_ball_point(points[i], r=radius)
+        if len(idx) <= 1:
+            non.append(i)
+            continue
+        lam = np.maximum(pca_eigenvalues(points[idx]), 0.0)
+        if lam[0] <= 0:
+            non.append(i)
+            continue
+        lp[i] = (lam[1] - lam[2]) / lam[0]
+        lo[i] = float(np.cbrt(lam[0] * lam[1] * lam[2]))
+        lc[i] = lam[2] / lam.sum()
+    return lp, lo, lc, non
+
+
+def test_geometric_features_matches_svd_loop_oracle(rng):
+    # mixed geometry: a plane, a line, and a volumetric blob, plus isolated
+    # points — exercises every eigenvalue regime of the closed-form path
+    plane = np.stack([rng.uniform(0, 1, 300), rng.uniform(0, 1, 300),
+                      1e-3 * rng.standard_normal(300)], 1)
+    line = np.stack([rng.uniform(2, 3, 150), np.full(150, 0.5),
+                     1e-3 * rng.standard_normal(150)], 1)
+    blob = 0.3 * rng.standard_normal((200, 3)) + [5, 5, 5]
+    iso = np.array([[50.0, 50, 50], [60.0, 60, 60]])
+    pts = np.concatenate([plane, line, blob, iso])
+    lp_v, lo_v, lc_v, non_v = geometric_features(pts, radius=0.4, batch=97)
+    lp_r, lo_r, lc_r, non_r = _reference_geometric_features(pts, radius=0.4)
+    assert non_v == non_r
+    # atol 5e-7: at degenerate spectra (lambda2 ~ 0) the SVD oracle itself
+    # carries ~1e-7 conditioning noise vs the closed-form+Newton path —
+    # both are exact to their shared floor
+    np.testing.assert_allclose(lp_v, lp_r, atol=5e-7)
+    np.testing.assert_allclose(lo_v, lo_r, atol=5e-7)
+    np.testing.assert_allclose(lc_v, lc_r, atol=5e-7)
+
+
+def test_geometric_features_georeferenced_offset_stable(rng):
+    # UTM-scale coordinates (the real TUM tiles are georeferenced): the
+    # query-point-local accumulation must not lose the signal to
+    # cancellation against ~1e6-magnitude offsets
+    base = rng.uniform(0, 2, (400, 3))
+    off = base + np.array([691_000.0, 5_336_000.0, 520.0])
+    for col in range(3):
+        a = geometric_features(base, radius=0.6)[col]
+        b = geometric_features(off, radius=0.6)[col]
+        np.testing.assert_allclose(a, b, atol=1e-5)
+
+
+def test_eigvals3_closed_form_matches_eigvalsh(rng):
+    from tumseg.data.features import _eigvals3_sym_desc
+    a = rng.standard_normal((500, 3, 3))
+    sym = a @ np.transpose(a, (0, 2, 1))  # PSD, well-conditioned-ish
+    # add exact special cases: zero, scaled identity, diagonal
+    sym = np.concatenate([sym, np.zeros((1, 3, 3)),
+                          3.7 * np.eye(3)[None],
+                          np.diag([5.0, 2.0, 9.0])[None]])
+    packed = np.stack([sym[:, 0, 0], sym[:, 0, 1], sym[:, 0, 2],
+                       sym[:, 1, 1], sym[:, 1, 2], sym[:, 2, 2]], axis=1)
+    got = _eigvals3_sym_desc(packed)
+    want = np.linalg.eigvalsh(sym)[:, ::-1]
+    np.testing.assert_allclose(got, want, atol=1e-8)
+
+
 def test_voxel_downsample_majority_and_inverse(rng):
     pts = rng.uniform(0, 1, (2000, 3))
     labels = rng.integers(0, 4, 2000)

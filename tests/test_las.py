@@ -1,9 +1,111 @@
-"""LAS reader/writer roundtrip and Extra Bytes tests."""
+"""LAS reader/writer roundtrip and Extra Bytes tests.
+
+The robustness matrix (VERDICT r4 item 5) synthesizes fixture files with an
+independent low-level builder (_synth_las, raw struct packing — NOT the
+production writer), covering the reader paths real TUM-Facade tiles can
+arrive in: point formats 0/1/2/3/6/7/8, LAS 1.2/1.3/1.4 headers, 64-bit
+1.4 point counts, 5-bit classification masking with flag bits set, typed
+CloudCompare extra-bytes scalars incl. scale/offset, multi-VLR files, and
+malformed-header rejection. Reference ingest: sem_seg_training.py:137-153."""
+
+import struct
 
 import numpy as np
 import pytest
 
-from tumseg.data.las import read_las, write_las, read_las_file_with_labels
+from tumseg.data.las import (
+    HEADER_SIZE, POINT_FORMATS, read_las, read_las_file_with_labels,
+    write_las,
+)
+
+
+def _synth_las(path, *, version=(1, 2), point_format=0, xyz=None,
+               classification=None, rgb=None, gps=None, nir=None,
+               scales=(0.01, 0.01, 0.01), offsets=(0.0, 0.0, 0.0),
+               legacy_count="auto", count64="auto", eb=None,
+               laz_bits=0, record_len=None, trailing_pad=0):
+    """Hand-build a LAS file with raw little-endian struct packing.
+
+    ``eb`` is a list of (name, np_dtype, values, scale, offset) tuples
+    written as an Extra Bytes VLR (LAS spec user id LASF_Spec, record 4),
+    mimicking CloudCompare scalar-field exports."""
+    xyz = np.asarray(xyz, dtype=np.float64)
+    n = len(xyz)
+    fields = list(POINT_FORMATS[point_format])
+    eb = eb or []
+    for name, dt, _vals, _s, _o in eb:
+        fields.append(("__eb__" + name, np.dtype(dt)))
+    if trailing_pad:
+        fields.append(("__padfix__", np.dtype(("u1", trailing_pad))))
+    dtype = np.dtype(fields)
+    rec = np.zeros(n, dtype=dtype)
+    scaled = np.round((xyz - np.asarray(offsets)) / np.asarray(scales))
+    rec["X"], rec["Y"], rec["Z"] = (scaled[:, i].astype(np.int32)
+                                    for i in range(3))
+    if classification is not None:
+        rec["raw_classification"] = np.asarray(classification, np.uint8)
+    if rgb is not None:
+        rgb = np.asarray(rgb, np.uint16)
+        rec["red"], rec["green"], rec["blue"] = rgb[:, 0], rgb[:, 1], rgb[:, 2]
+    if gps is not None:
+        rec["gps_time"] = gps
+    if nir is not None:
+        rec["nir"] = nir
+    for name, dt, vals, _s, _o in eb:
+        rec["__eb__" + name] = np.asarray(vals).astype(dt)
+
+    vlr_blobs = b""
+    n_vlrs = 0
+    if eb:
+        # a leading unrelated VLR so the EB VLR is not the first one
+        vlr_blobs += struct.pack("<H16sHH32s", 0, b"OtherVendor", 99, 4,
+                                 b"unrelated") + b"\x00" * 4
+        payload = b""
+        for name, dt, _vals, s, o in eb:
+            entry = bytearray(192)
+            code = {np.dtype("u1"): 1, np.dtype("i1"): 2, np.dtype("u2"): 3,
+                    np.dtype("i2"): 4, np.dtype("u4"): 5, np.dtype("i4"): 6,
+                    np.dtype("u8"): 7, np.dtype("i8"): 8, np.dtype("f4"): 9,
+                    np.dtype("f8"): 10}[np.dtype(dt)]
+            options = (0x08 if s is not None else 0) | \
+                      (0x10 if o is not None else 0)
+            struct.pack_into("<HBB", entry, 0, 0, code, options)
+            entry[4:4 + min(32, len(name))] = name.encode()[:32]
+            if s is not None:
+                struct.pack_into("<d", entry, 112, s)
+            if o is not None:
+                struct.pack_into("<d", entry, 136, o)
+            payload += bytes(entry)
+        vlr_blobs += struct.pack("<H16sHH32s", 0, b"LASF_Spec", 4,
+                                 len(payload), b"Extra Bytes") + payload
+        n_vlrs = 2
+
+    header_size = HEADER_SIZE[version]
+    hdr = bytearray(header_size)
+    hdr[0:4] = b"LASF"
+    hdr[24], hdr[25] = version
+    struct.pack_into("<H", hdr, 94, header_size)
+    struct.pack_into("<L", hdr, 96, header_size + len(vlr_blobs))
+    struct.pack_into("<L", hdr, 100, n_vlrs)
+    hdr[104] = point_format | laz_bits
+    struct.pack_into("<H", hdr, 105,
+                     dtype.itemsize if record_len is None else record_len)
+    if legacy_count == "auto":
+        legacy_count = n if version < (1, 4) else 0
+    struct.pack_into("<L", hdr, 107, legacy_count)
+    struct.pack_into("<3d", hdr, 131, *scales)
+    struct.pack_into("<3d", hdr, 155, *offsets)
+    mins, maxs = xyz.min(0), xyz.max(0)
+    struct.pack_into("<6d", hdr, 179, maxs[0], mins[0], maxs[1], mins[1],
+                     maxs[2], mins[2])
+    if version >= (1, 4):
+        if count64 == "auto":
+            count64 = n
+        struct.pack_into("<Q", hdr, 247, count64)
+    with open(path, "wb") as f:
+        f.write(bytes(hdr))
+        f.write(vlr_blobs)
+        f.write(rec.tobytes())
 
 
 def _tile(n=1000, seed=0):
@@ -132,6 +234,156 @@ def test_unknown_dimension_message(tmp_path):
     las = read_las(p)
     with pytest.raises(AttributeError, match="no dimension"):
         getattr(las, "Verticality")
+
+
+# --------------------------- robustness matrix ---------------------------
+
+_FMT_FEATURES = {0: set(), 1: {"gps"}, 2: {"rgb"}, 3: {"gps", "rgb"},
+                 6: {"gps"}, 7: {"gps", "rgb"}, 8: {"gps", "rgb", "nir"}}
+
+
+@pytest.mark.parametrize("version", [(1, 2), (1, 3), (1, 4)])
+@pytest.mark.parametrize("fmt", [0, 1, 2, 3, 6, 7, 8])
+def test_reader_format_matrix(tmp_path, version, fmt):
+    """Every (LAS version x point format) cell the codec claims: coords,
+    classification, and each format's optional fields read back exactly."""
+    r = np.random.default_rng(fmt * 10 + version[1])
+    n = 64
+    xyz = np.stack([r.uniform(0, 50, n), r.uniform(0, 50, n),
+                    r.uniform(0, 30, n)], 1)
+    cls = r.integers(0, 18, n).astype(np.uint8)
+    feats = _FMT_FEATURES[fmt]
+    rgb = (r.integers(0, 65536, (n, 3)).astype(np.uint16)
+           if "rgb" in feats else None)
+    gps = r.uniform(3e8, 4e8, n) if "gps" in feats else None
+    nir = (r.integers(0, 65536, n).astype(np.uint16)
+           if "nir" in feats else None)
+    p = str(tmp_path / f"m{version[1]}_{fmt}.las")
+    _synth_las(p, version=version, point_format=fmt, xyz=xyz,
+               classification=cls, rgb=rgb, gps=gps, nir=nir)
+    las = read_las(p)
+    assert len(las) == n
+    assert las.header.version == version
+    assert las.header.point_format == fmt
+    np.testing.assert_allclose(las.xyz, xyz, atol=0.0051)
+    np.testing.assert_array_equal(las.classification, cls)
+    if rgb is not None:
+        np.testing.assert_array_equal(las.red, rgb[:, 0])
+        np.testing.assert_array_equal(las.blue, rgb[:, 2])
+    if gps is not None:
+        np.testing.assert_allclose(las.gps_time, gps)
+    if nir is not None:
+        np.testing.assert_array_equal(las.nir, nir)
+
+
+def test_classification_masks_flag_bits_formats_0_to_5(tmp_path):
+    """Formats 0-5 pack synthetic/keypoint/withheld flags into the upper 3
+    bits of the classification byte — all 18 raw TUM-Facade codes must read
+    back with those bits set (sem_seg_training.py:159-169 relies on raw
+    0-17 codes)."""
+    n = 18
+    xyz = np.zeros((n, 3))
+    cls18 = np.arange(18, dtype=np.uint8)
+    raw = cls18 | 0x20 | 0x80  # synthetic + withheld flags
+    p = str(tmp_path / "flags.las")
+    _synth_las(p, point_format=0, xyz=xyz, classification=raw)
+    las = read_las(p)
+    np.testing.assert_array_equal(las.classification, cls18)
+    # formats 6+ use the full byte: no masking
+    p2 = str(tmp_path / "flags6.las")
+    _synth_las(p2, version=(1, 4), point_format=6, xyz=xyz,
+               classification=cls18)
+    np.testing.assert_array_equal(read_las(p2).classification, cls18)
+
+
+def test_las14_64bit_count_and_zero_legacy(tmp_path):
+    """LAS 1.4 writers set legacy count 0 and the 64-bit count at offset
+    247 — the reader must use the 64-bit value; when both are set (1.4
+    files <2^32 points often carry both) the 64-bit one wins."""
+    xyz = np.random.default_rng(0).uniform(0, 10, (100, 3))
+    p = str(tmp_path / "c64.las")
+    _synth_las(p, version=(1, 4), point_format=6, xyz=xyz,
+               legacy_count=0, count64=100)
+    assert len(read_las(p)) == 100
+    p2 = str(tmp_path / "both.las")
+    _synth_las(p2, version=(1, 4), point_format=6, xyz=xyz,
+               legacy_count=60, count64=100)
+    assert len(read_las(p2)) == 100
+
+
+def test_cloudcompare_typed_extra_bytes_with_scale_offset(tmp_path):
+    """Typed EB scalars as CloudCompare exports them: f64 raw, plus a
+    scaled/offset int16 dimension (EB options bits 0x08/0x10) that must
+    come back as value*scale+offset; the EB VLR is NOT the first VLR."""
+    r = np.random.default_rng(5)
+    n = 40
+    xyz = r.uniform(0, 5, (n, 3))
+    f64 = r.standard_normal(n)
+    i16_raw = r.integers(-1000, 1000, n).astype(np.int16)
+    u8 = r.integers(0, 255, n).astype(np.uint8)
+    p = str(tmp_path / "cc.las")
+    _synth_las(p, version=(1, 4), point_format=6, xyz=xyz, eb=[
+        ("Planarity (0.8)", "f8", f64, None, None),
+        ("Scaled field", "i2", i16_raw, 0.01, 100.0),
+        ("Verticality", "u1", u8, None, None),
+    ])
+    las = read_las(p)
+    np.testing.assert_array_equal(getattr(las, "Planarity (0.8)"), f64)
+    np.testing.assert_allclose(getattr(las, "Scaled field"),
+                               i16_raw * 0.01 + 100.0)
+    np.testing.assert_array_equal(las.Verticality, u8)
+    # case/space-insensitive alias, as the CLI's --extra_features uses
+    np.testing.assert_array_equal(getattr(las, "planarity(0.8)"), f64)
+
+
+def test_unknown_trailing_record_bytes_are_tolerated(tmp_path):
+    """Files whose record length exceeds base+EB (e.g. undocumented vendor
+    bytes with no EB VLR) must still read the documented fields."""
+    xyz = np.random.default_rng(1).uniform(0, 9, (32, 3))
+    cls = np.random.default_rng(2).integers(0, 18, 32).astype(np.uint8)
+    p = str(tmp_path / "pad.las")
+    _synth_las(p, point_format=1, xyz=xyz, classification=cls,
+               trailing_pad=5)
+    las = read_las(p)
+    np.testing.assert_allclose(las.xyz, xyz, atol=0.0051)
+    np.testing.assert_array_equal(las.classification, cls)
+
+
+def test_malformed_headers_rejected(tmp_path):
+    xyz = np.zeros((4, 3))
+    p = str(tmp_path / "laz.las")
+    _synth_las(p, point_format=0, xyz=xyz, laz_bits=0x80)
+    with pytest.raises(ValueError, match="LAZ"):
+        read_las(p)
+    p2 = str(tmp_path / "fmt5.las")
+    # format 5 (waveform) is out of scope: must fail loudly, not misparse
+    _synth_las(p2, point_format=0, xyz=xyz)
+    buf = bytearray(open(p2, "rb").read())
+    buf[104] = 5
+    open(p2, "wb").write(bytes(buf))
+    with pytest.raises(ValueError, match="unsupported point format"):
+        read_las(p2)
+    p3 = str(tmp_path / "short.las")
+    _synth_las(p3, point_format=3, xyz=xyz, record_len=10)
+    with pytest.raises(ValueError, match="record length"):
+        read_las(p3)
+
+
+def test_reader_is_little_endian_by_bytes_not_by_host(tmp_path):
+    """Pin the on-disk interpretation with a byte-literal point record: a
+    known LE int32 X and u2 red channel must decode to these exact values
+    (guards against any host-endianness-dependent dtype creeping in)."""
+    p = str(tmp_path / "le.las")
+    _synth_las(p, point_format=2, xyz=np.array([[1.0, 2.0, 3.0]]),
+               classification=np.array([7]), scales=(0.01,) * 3,
+               rgb=np.array([[0x1234, 0, 0xABCD]], dtype=np.uint16))
+    raw = open(p, "rb").read()
+    rec = raw[-26:]  # format 2 record is 26 bytes
+    assert rec[0:4] == (100).to_bytes(4, "little", signed=True)  # X=1.0/0.01
+    assert rec[20:22] == (0x1234).to_bytes(2, "little")          # red
+    las = read_las(p)
+    assert int(las.red[0]) == 0x1234 and int(las.blue[0]) == 0xABCD
+    np.testing.assert_allclose(las.xyz[0], [1.0, 2.0, 3.0], atol=1e-9)
 
 
 def test_large_coords_precision(tmp_path):
