@@ -62,7 +62,7 @@ def query_ball_point(radius, nsample, xyz, new_xyz):
         try:
             N, S = xyz.shape[1], new_xyz.shape[1]
             if _BQ_VARIANT in ("bp", "bp2") and N % 32 == 0:
-                # bit-packed peel (opt-in until measured on device): packs
+                # explicit override: bit-packed peel everywhere — packs
                 # the in-ball mask into int32 words and peels lowest set
                 # bits — ~8*(N/32) VPU ops per peel step vs ~4*N for the
                 # masked-min peel ("bp2" adds the summary-bitmap level:
@@ -72,23 +72,30 @@ def query_ball_point(radius, nsample, xyz, new_xyz):
                 return query_ball_point_bp(radius, nsample, xyz, new_xyz,
                                            two_level=_BQ_VARIANT == "bp2")
             if N >= _WINDOW_MIN_N and N % 128 == 0 and S >= 256:
-                # tiered z-window: smallest covering window wins on device,
-                # full-kernel fallback — never slower than the full kernel by
-                # more than the sort glue, so no opt-in gate. Measured at sa1
-                # (B32 N4096 S1024 r0.1): uniform-cube worst case fits N//2
-                # at 3.1 vs 4.0 ms full; facade blocks fit the tight 3N/16
-                # tier (2.09 ms at C=768 vs 2.29 at N//4 — window_probe.py
-                # --facade sweep, round 3).
+                # tiered z-window with bp2 fallback: smallest covering
+                # window wins on device; data that fits no tier runs the
+                # data-independent bit-packed peel. r5 device bitpack_probe
+                # at sa1 (B32 N4096 S1024 r0.1): facade fits the tight
+                # 3N/16 tier (1.53 ms), bp2-st256 is 2.22 on ANY data,
+                # beating both the old N//2 tier (3.22 on uniform cube)
+                # and the full kernel (5.0) — so the N//2 tier is gone.
                 from tumseg.ops.pallas.ballquery import (
                     query_ball_point_windowed)
                 return query_ball_point_windowed(
                     radius, nsample, xyz, new_xyz,
-                    (_bq_window_tight(N), _bq_window(N), N // 2))
+                    (_bq_window_tight(N), _bq_window(N)),
+                    fallback="bp2")
+            if N <= 1024 and N % 32 == 0:
+                # bit-packed peel wins at sa2/sa3 shapes on device (r5
+                # bitpack_probe, both datasets: sa2 0.40-0.42 ms bp2-st128
+                # vs 0.54-0.59 transposed; sa3 0.27-0.30 bp vs 0.31-0.32
+                # — two_level silently degrades to bp below N=1024)
+                from tumseg.ops.pallas.ballquery import query_ball_point_bp
+                return query_ball_point_bp(radius, nsample, xyz, new_xyz,
+                                           s_tile=128, two_level=True)
             if N <= 1024:
-                # transposed peel (candidates on sublanes) wins at sa2-like
-                # shapes (0.849 vs 0.915 ms at B32 N1024 S256; /tmp/bq_t
-                # round-3 A/B) and loses at N=4096 where the 512-vreg
-                # sublane chain outweighs the cross-lane mins it removes
+                # transposed peel (candidates on sublanes): round-3 winner
+                # at sa2-like shapes, now the N % 32 != 0 fallback
                 from tumseg.ops.pallas.ballquery import query_ball_point_t
                 return query_ball_point_t(radius, nsample, xyz, new_xyz)
             return _pallas().query_ball_point(radius, nsample, xyz, new_xyz)
@@ -121,12 +128,12 @@ _BALLQUERY_PALLAS_MIN = 0         # N * S
 _WINDOW_MIN_N = 4096
 _WINDOW = os.environ.get("TUMSEG_OPS_WINDOW", "0") == "1"
 
-# Ball-query kernel variant: "auto" = tiered-window at N>=4096, transposed
-# peel at N<=1024 (the measured round-3 winners); "bp"/"bp2" = the
-# bit-packed peel kernel (single/two-level) at every N % 32 == 0 shape
-# (opt-in until device-measured). NOTE: bp2's summary level needs
-# N % 1024 == 0 (W = N/32 must itself pack into words); at other shapes
-# "bp2" silently executes the single-level bp peel.
+# Ball-query kernel variant: "auto" (default, r5 device-measured winners) =
+# tiered-window-with-bp2-fallback at N>=4096, bit-packed peel at
+# N % 32 == 0 <= 1024, transposed peel otherwise; "bp"/"bp2" = force the
+# bit-packed kernel (single/two-level) at every N % 32 == 0 shape. NOTE:
+# bp2's summary level needs N % 1024 == 0 (W = N/32 must itself pack into
+# words); at other shapes "bp2" silently executes the single-level bp peel.
 _BQ_VARIANT = os.environ.get("TUMSEG_OPS_BQ", "auto")
 
 
@@ -236,20 +243,26 @@ _FUSED_GROUP = os.environ.get("TUMSEG_OPS_FUSED_GROUP", "0") == "1"
 def msg_ball_groups(radius_list, nsample_list, xyz, new_xyz, src,
                     fast_gather=False):
     """Multi-scale ball query + neighborhood gather: one grouped tensor
-    [B, S, K_i, C] per radius. With the bit-packed ball-query variant
-    selected (TUMSEG_OPS_BQ=bp|bp2) all radii share ONE fused kernel launch
-    and ONE distance build (ops/pallas/ballquery.py
-    query_ball_point_bp_multi); otherwise falls back to per-radius
-    ball_group (identical outputs either way)."""
+    [B, S, K_i, C] per radius. On TPU all radii share ONE fused bit-packed
+    kernel launch and ONE distance build (ops/pallas/ballquery.py
+    query_ball_point_bp_multi — default since the r5 device A/B); at
+    N % 32 != 0 shapes falls back to per-radius ball_group (identical
+    outputs either way). Reference: the per-radius loop in
+    /root/reference/models/pointnet2_utils.py:205-262."""
     N = xyz.shape[1]
-    if (_use_pallas() and _BQ_VARIANT in ("bp", "bp2") and N % 32 == 0
-            and len(radius_list) > 1
+    if (_use_pallas() and _BQ_VARIANT in ("auto", "bp", "bp2")
+            and N % 32 == 0 and len(radius_list) > 1
             and xyz.shape[1] * new_xyz.shape[1] >= _BALLQUERY_PALLAS_MIN):
+        # default ON since r5: the fused multi-radius kernel beats
+        # per-radius dispatches at both MSG stages on device (msg_sa1
+        # 3.24 ms bp2_multi vs 3.90 two bp2 calls vs ~5.0+ per-radius
+        # window/transposed; msg_sa2 0.46 vs 0.52 — bitpack_probe, both
+        # facade and uniform data; parity frac=1.0)
         try:
             from tumseg.ops.pallas.ballquery import query_ball_point_bp_multi
             idxs = query_ball_point_bp_multi(
                 tuple(radius_list), tuple(nsample_list), xyz, new_xyz,
-                two_level=_BQ_VARIANT == "bp2")
+                two_level=_BQ_VARIANT != "bp")
             return [group_neighborhoods(idx, src, new_xyz,
                                         fast_gather=fast_gather)
                     for idx in idxs]

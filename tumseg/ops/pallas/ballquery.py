@@ -514,20 +514,23 @@ def _unpermute_rows_int(values: jnp.ndarray, inv: jnp.ndarray) -> jnp.ndarray:
     return jnp.rint(g[:, :, 0, :]).astype(values.dtype)
 
 
-@functools.partial(jax.jit, static_argnums=(0, 1, 4, 5))
+@functools.partial(jax.jit, static_argnums=(0, 1, 4, 5, 6))
 def query_ball_point_windowed(radius: float, nsample: int, xyz: jnp.ndarray,
                               new_xyz: jnp.ndarray,
                               window=1536,
-                              s_tile: int = _WINDOW_S_TILE) -> jnp.ndarray:
+                              s_tile: int = _WINDOW_S_TILE,
+                              fallback: str = "full") -> jnp.ndarray:
     """Exact query_ball_point with z-window candidate pruning.
 
     Same contract as query_ball_point. ``window`` is an int or an ascending
     tuple of candidate window sizes: the sort/searchsorted glue is shared and
     a lax.cond chain picks the SMALLEST tier whose window covers every
-    tile's in-radius span, falling back to the full kernel when none does —
-    so the call is never slower than the full kernel by more than the glue
-    (~0.8 ms at sa1) and is data-adaptively faster (uniform-cube worst case
-    fits C=2048 at sa1: 3.1 vs 4.0 ms; facade blocks fit C=1024).
+    tile's in-radius span, falling back to ``fallback`` when none does:
+    "full" = the plain peel kernel; "bp"/"bp2" = the bit-packed peel
+    (data-INDEPENDENT ~2.22 ms at sa1 with s_tile 256 vs the full kernel's
+    5.0 and the N//2 window tier's 3.2 — r5 device bitpack_probe, both
+    facade and uniform-cube data), so windows handle the data that fits
+    them tightly and bp2 bounds the worst case.
     """
     B, N, _ = xyz.shape
     S = new_xyz.shape[1]
@@ -623,6 +626,10 @@ def query_ball_point_windowed(radius: float, nsample: int, xyz: jnp.ndarray,
         return _unpermute_rows_int(out_sorted, inv)
 
     def _full(_):
+        if fallback in ("bp", "bp2") and N % 32 == 0:
+            return query_ball_point_bp(radius, nsample, xyz, queries,
+                                       s_tile=256,
+                                       two_level=fallback == "bp2")
         return query_ball_point(radius, nsample, xyz, queries)
 
     # smallest covering tier wins; the cond chain is built innermost-first so
