@@ -10,11 +10,14 @@ the loop on the full million points would take ~an hour on this 1-core box.
 Usage: python benchmarks/geofeat_bench.py [--n 1000000] [--loop-n 20000]
 """
 import argparse
+import sys
 import time
 
 import numpy as np
 
-from tumseg.data.features import geometric_features
+sys.path.insert(0, __file__.rsplit("/", 2)[0])
+
+from tumseg.data.features import geometric_features  # noqa: E402
 
 
 def make_room(n, rng):

@@ -332,14 +332,17 @@ def test_fused_ball_group_fast_mode():
 
 # ---- z-window pruned variants (exactness incl. the on-device fallback) ----
 
-@pytest.mark.parametrize("r,window,s_tile", [(0.1, 256, 32), (0.25, 256, 64),
+@pytest.mark.parametrize("r,window,s_tile", [(0.1, 256, 128), (0.25, 256, 64),
                                              (0.45, 256, 32)])
 def test_ballquery_windowed_matches_xla(r, window, s_tile):
+    # s_tile 64/32 exercise the dispatcher's Mosaic lane legalization (they
+    # round up to 128 — sub-128 query tiles only lower in interpret mode);
+    # s_tile=128 over 256 queries keeps a real multi-tile grid on hardware.
     from tumseg.ops.pallas.ballquery import query_ball_point_windowed
 
     rng = np.random.default_rng(7)
     xyz = jnp.asarray(rng.random((2, 512, 3)), jnp.float32)
-    new_xyz = xyz[:, :128, :]
+    new_xyz = xyz[:, :256, :]
     want = np.asarray(xla_ops.query_ball_point(r, 8, xyz, new_xyz))
     got = np.asarray(query_ball_point_windowed(r, 8, xyz, new_xyz,
                                                window, s_tile))
@@ -363,10 +366,10 @@ def test_ballquery_windowed_tiers_match_xla():
     flat[:, :, 2] = 0.5
     for pts in (thin, cube, flat):
         xyz = jnp.asarray(pts, jnp.float32)
-        new_xyz = xyz[:, :128, :]
+        new_xyz = xyz[:, :256, :]
         want = np.asarray(xla_ops.query_ball_point(0.1, 8, xyz, new_xyz))
         got = np.asarray(query_ball_point_windowed(0.1, 8, xyz, new_xyz,
-                                                   (128, 256), 32))
+                                                   (128, 256), 128))
         np.testing.assert_array_equal(got, want)
 
 

@@ -540,6 +540,15 @@ def query_ball_point_windowed(radius: float, nsample: int, xyz: jnp.ndarray,
     s_tile = min(s_tile, S)
     if S % s_tile != 0:
         s_tile = S
+    if _WINDOW_TRANSPOSED and s_tile < S and s_tile % 128 != 0:
+        # Mosaic lane constraint: the transposed kernel tiles queries on the
+        # minor axis, so a partial tile must be a 128 multiple (interpret
+        # mode tolerates anything; real lowering rejects it). Round up to
+        # the smallest 128-multiple that divides S, else take the full row.
+        cand = -(-s_tile // 128) * 128
+        while cand < S and S % cand != 0:
+            cand += 128
+        s_tile = min(cand, S)
     T = S // s_tile
     if not tiers or N % 128 != 0:
         return query_ball_point(radius, nsample, xyz, new_xyz)
