@@ -1,10 +1,13 @@
 #!/bin/bash
 # Run the measurement half of docs/DEVICE_TODO.md sequentially, one process
 # at a time (only one process may hold the tunneled TPU), tee-ing to
-# /tmp/device_queue.log. Routing decisions (DEVICE_TODO step 2) and the
-# routing-DEPENDENT headline runs (post-flip bench.py/voting_bench.py, the
-# MSG row) happen AFTER reading these results — don't add those here;
-# routing-independent rows (flagship warm-up, pointnet) are fine.
+# /tmp/device_queue.log.
+#
+# r5 PHASE 2 queue (the 02:42-03:49 window banked the probes and flipped the
+# routing — commit 09e21f6): re-measure the routing-DEPENDENT headlines with
+# the new defaults (bp2 at sa2/sa3 + bp2 window fallback, MSG fused multi,
+# superstep 8), then re-run the hardware suite to confirm the 7d456a7 fixes
+# (s_tile lane legalization, matmul-precision fixture) on real Mosaic.
 #
 # Outage hardening: the axon tunnel flaps for hours at a time and a downed
 # tunnel makes backend init HANG (not fail). Each step therefore only runs
@@ -35,24 +38,26 @@ run() {
   # would log timeouts/crashes as success in the unattended-run log
   echo "=== exit ${PIPESTATUS[0]} ===" | tee -a "$LOG"
 }
-# Flagship headline FIRST: if the tunnel only stays up briefly, a fresh
-# driver-parseable bench line + a warm compile cache for the driver's
-# round-close bench run is worth more than any probe.
+# Flagship headline FIRST with the NEW routing: the 02:42 bench (13.45M)
+# predates the flips; this run both banks the post-flip number and warms the
+# compile cache for the driver's round-close bench. New executables (bp2 in
+# the forward) mean remote compiles on the first run — the 3600 s timeout
+# covers them.
 run env TUMSEG_BENCH_RETRY_WINDOW=0 python bench.py
-run python benchmarks/bitpack_probe.py --facade --stages sa1,sa2,sa3
-run python benchmarks/bitpack_probe.py --stages sa1,sa2,sa3
-run python benchmarks/train_sustained.py --superstep 8
-run python benchmarks/serve_probe6.py
-run python benchmarks/ckpt_device_probe.py
-# PointNet (encoder model) headline row — VERDICT r3 item 7. No ball
-# query / 3-NN in this model, so it is independent of the routing
-# decisions the probes above feed.
-run env TUMSEG_BENCH_MODEL=pointnet_sem_seg TUMSEG_BENCH_RETRY_WINDOW=0 \
+# MSG headline with the fused multi-radius default (DEVICE_TODO step 8 /
+# VERDICT r3 item 3: target <=12 ms from 15.0).
+run env TUMSEG_BENCH_MODEL=pointnet2_sem_seg_msg TUMSEG_BENCH_RETRY_WINDOW=0 \
   python bench.py
+# Serving headline with the new ball-query routing inside the vote scan.
+run python benchmarks/voting_bench.py
+# Flagship once more (now warm end-to-end) so the LAST pre-driver number in
+# the log is the steady-state one.
+run env TUMSEG_BENCH_RETRY_WINDOW=0 python bench.py
 echo "QUEUE DONE $(date -u +%H:%M:%S)" | tee -a "$LOG"
-# Full kernel+parity suite ON HARDWARE — VERDICT r3 item 4 (weak #4).
-# Last because remote compiles of the tests' small cache-cold shapes can
-# take a long time; a timeout here must not cost the measurements above.
+# Hardware suite re-run: 03:33 run failed 10 tests; 7d456a7 fixed them
+# (verified in interpret mode) — confirm on real Mosaic lowering. Last
+# because cache-cold remote compiles of the tests' small shapes are slow;
+# a timeout here must not cost the measurements above.
 if probe; then
   echo "=== TPU suite — $(date -u +%H:%M:%S) ===" | tee -a "$LOG"
   timeout 7200 env TUMSEG_TEST_TPU=1 \
