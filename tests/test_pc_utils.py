@@ -74,6 +74,42 @@ def test_euler2mat_orthogonal():
     np.testing.assert_allclose(mz @ [1, 0, 0], [0, 1, 0], atol=1e-12)
 
 
+def test_euler_conversion_roundtrips():
+    rng = np.random.default_rng(3)
+    for _ in range(50):
+        z, x = rng.uniform(-np.pi, np.pi, 2)
+        y = rng.uniform(-np.pi / 2 + 0.05, np.pi / 2 - 0.05)  # mat2euler range
+        m = U.euler2mat(z, y, x)
+        # mat2euler inverts euler2mat
+        z2, y2, x2 = U.mat2euler(m)
+        np.testing.assert_allclose([z2, y2, x2], [z, y, x], atol=1e-10)
+        # quaternion path encodes the same rotation
+        np.testing.assert_allclose(U._quat2mat(U.euler2quat(z, y, x)), m,
+                                   atol=1e-10)
+        np.testing.assert_allclose(U.quat2euler(U.euler2quat(z, y, x)),
+                                   [z, y, x], atol=1e-9)
+        # angle-axis path
+        theta, vec = U.euler2angle_axis(z, y, x)
+        np.testing.assert_allclose(np.linalg.norm(vec), 1.0, atol=1e-12)
+        np.testing.assert_allclose(U.angle_axis2euler(theta, vec),
+                                   [z, y, x], atol=1e-9)
+
+
+def test_mat2euler_gimbal_lock():
+    for sy in (1.0, -1.0):
+        m = U.euler2mat(0.7, sy * np.pi / 2, 0.0)
+        z, y, x = U.mat2euler(m)
+        np.testing.assert_allclose(U.euler2mat(z, y, x), m, atol=1e-10)
+        assert x == 0.0  # pinned by convention at the singularity
+
+
+def test_euler_identity_edge_cases():
+    assert U.euler2angle_axis(0, 0, 0)[0] == 0.0
+    np.testing.assert_allclose(U.quat2euler([1, 0, 0, 0]), [0, 0, 0],
+                               atol=1e-12)
+    np.testing.assert_allclose(U._quat2mat([0, 0, 0, 0]), np.eye(3))
+
+
 def test_draw_point_cloud(rng):
     pts = rng.random((200, 3)) - 0.5
     img = U.draw_point_cloud(pts, canvasSize=100, space=40, diameter=7)

@@ -35,6 +35,97 @@ def euler2mat(z: float = 0, y: float = 0, x: float = 0) -> np.ndarray:
     return out
 
 
+def mat2euler(M, cy_thresh: float | None = None):
+    """Invert :func:`euler2mat`: rotation matrix -> ``(z, y, x)`` angles.
+
+    Same API surface as the reference's vendored eulerangles module
+    (/root/reference/visualizer/eulerangles.py:168-227); derivation is our
+    own for the ``Mz @ My @ Mx`` composition above: with ``cy = cos(y)``,
+    ``M[2,0] = -sin(y)``, ``M[0,0]/M[1,0] = cy*cos(z)/cy*sin(z)`` and
+    ``M[2,1]/M[2,2] = cy*sin(x)/cy*cos(x)``. Near the gimbal lock
+    (``cy ~ 0``) x is unobservable from z; we pin ``x = 0`` and read the
+    remaining angle off the first row.
+    """
+    M = np.asarray(M, dtype=float)
+    if cy_thresh is None:
+        cy_thresh = np.finfo(M.dtype).eps * 4
+    cy = np.sqrt(M[0, 0] ** 2 + M[1, 0] ** 2)
+    if cy > cy_thresh:
+        z = np.arctan2(M[1, 0], M[0, 0])
+        y = np.arctan2(-M[2, 0], cy)
+        x = np.arctan2(M[2, 1], M[2, 2])
+    else:
+        # sy = -M[2,0] = +-1. Row 0 degenerates to [0, -+sin(x -+ z),
+        # +-cos(x -+ z)]; with x pinned to 0 the row yields z directly.
+        sy = -M[2, 0]
+        z = np.arctan2(-M[0, 1], np.sign(sy) * M[0, 2])
+        y = np.arctan2(sy, cy)
+        x = 0.0
+    return z, y, x
+
+
+def euler2quat(z: float = 0, y: float = 0, x: float = 0) -> np.ndarray:
+    """``(z, y, x)`` angles -> unit quaternion ``[w, x, y, z]`` for the same
+    rotation as :func:`euler2mat` (qz * qy * qx Hamilton product; reference
+    surface /root/reference/visualizer/eulerangles.py:228-270)."""
+    cz, sz = np.cos(z / 2.0), np.sin(z / 2.0)
+    cy, sy = np.cos(y / 2.0), np.sin(y / 2.0)
+    cx, sx = np.cos(x / 2.0), np.sin(x / 2.0)
+    return np.array([
+        cx * cy * cz + sx * sy * sz,
+        sx * cy * cz - cx * sy * sz,
+        cx * sy * cz + sx * cy * sz,
+        cx * cy * sz - sx * sy * cz,
+    ])
+
+
+def _quat2mat(q) -> np.ndarray:
+    """Unit-normalizing quaternion ``[w, x, y, z]`` -> rotation matrix."""
+    w, x, y, z = np.asarray(q, dtype=float)
+    n = w * w + x * x + y * y + z * z
+    if n < np.finfo(float).eps:
+        return np.eye(3)
+    s = 2.0 / n
+    wx, wy, wz = s * w * x, s * w * y, s * w * z
+    xx, xy, xz = s * x * x, s * x * y, s * x * z
+    yy, yz, zz = s * y * y, s * y * z, s * z * z
+    return np.array([
+        [1.0 - yy - zz, xy - wz, xz + wy],
+        [xy + wz, 1.0 - xx - zz, yz - wx],
+        [xz - wy, yz + wx, 1.0 - xx - yy],
+    ])
+
+
+def quat2euler(q):
+    """Quaternion ``[w, x, y, z]`` -> ``(z, y, x)`` angles (reference
+    surface /root/reference/visualizer/eulerangles.py:271-296)."""
+    return mat2euler(_quat2mat(q))
+
+
+def euler2angle_axis(z: float = 0, y: float = 0, x: float = 0):
+    """``(z, y, x)`` angles -> ``(theta, unit_vector)`` rotation
+    (reference surface /root/reference/visualizer/eulerangles.py:297-326)."""
+    w, qx, qy, qz = euler2quat(z, y, x)
+    v = np.array([qx, qy, qz])
+    norm = np.linalg.norm(v)
+    theta = 2.0 * np.arctan2(norm, w)
+    if norm < np.finfo(float).eps:
+        return 0.0, np.array([1.0, 0.0, 0.0])
+    return theta, v / norm
+
+
+def angle_axis2euler(theta: float, vector, is_normalized: bool = False):
+    """``(theta, axis)`` rotation -> ``(z, y, x)`` angles (reference
+    surface /root/reference/visualizer/eulerangles.py:327-358). Rodrigues
+    rotation composed from our quaternion helpers."""
+    v = np.asarray(vector, dtype=float)
+    if not is_normalized:
+        v = v / np.linalg.norm(v)
+    half = theta / 2.0
+    q = np.concatenate([[np.cos(half)], np.sin(half) * v])
+    return mat2euler(_quat2mat(q))
+
+
 # ----------------------------------------------------------------------
 # Cloud <-> volume
 # ----------------------------------------------------------------------
