@@ -48,11 +48,11 @@ def test_backend_init_exception_yields_rc0_and_json():
 
 
 def test_last_measured_absent_for_models_without_marker_row():
-    # the marker carries the models with banked device rows (flagship +
-    # pointnet as of 2026-08-19); others' error lines must simply omit the
-    # field rather than inherit the wrong provenance
+    # the marker carries the models with banked device rows (flagship,
+    # pointnet, MSG as of 2026-08-19); others' error lines must simply omit
+    # the field rather than inherit the wrong provenance
     proc = _run_bench({
-        "TUMSEG_BENCH_MODEL": "pointnet2_sem_seg_msg",
+        "TUMSEG_BENCH_MODEL": "pointnet2_sem_seg_original",
         "TUMSEG_BENCH_FORCE_FAIL": "1",
         "TUMSEG_BENCH_RETRY_WINDOW": "0",
     })
