@@ -85,7 +85,8 @@ def _fused_kernel(radius: float, nsample: int, exact: bool,
     for ci in range(N // chunk):
         m_c = mask[ci * chunk:(ci + 1) * chunk, :]
         m_cf = m_c.astype(jnp.float32)
-        cnt_c = jnp.dot(tri, m_c, preferred_element_type=jnp.float32) + carry
+        cnt_c = jnp.dot(tri, m_c, preferred_element_type=jnp.float32,
+                        precision=lax.Precision.DEFAULT) + carry
         # -1 sentinel where not in ball: the per-k equality then needs no
         # separate mask AND
         cntm_chunks.append(cnt_c * m_cf - (1.0 - m_cf))
@@ -159,7 +160,8 @@ def _fused_gridk_kernel(radius: float, nsample: int, exact: bool,
             m_c = mask[ci * chunk:(ci + 1) * chunk, :]
             m_cf = m_c.astype(jnp.float32)
             cnt_c = jnp.dot(tri, m_c,
-                            preferred_element_type=jnp.float32) + carry
+                            preferred_element_type=jnp.float32,
+                            precision=lax.Precision.DEFAULT) + carry
             cntm_ref[ci * chunk:(ci + 1) * chunk, :] = (
                 cnt_c * m_cf - (1.0 - m_cf))
             carry = carry + jnp.sum(m_cf, axis=0, keepdims=True)

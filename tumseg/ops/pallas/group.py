@@ -35,16 +35,24 @@ def _split3_dot(x, onehot_bf16, exact: bool):
     exact=True reconstructs all 24 f32 mantissa bits via a 3-way bf16 split
     of x (Mosaic supports only DEFAULT and HIGHEST dot precisions;
     fp32-HIGHEST costs 6 passes, this costs 3); exact=False is single-pass
-    bf16 for bf16 compute mode."""
+    bf16 for bf16 compute mode.
+
+    Precision is pinned to DEFAULT: bf16 x bf16 -> f32 is a single exact MXU
+    pass regardless, and an ambient ``jax.default_matmul_precision("highest")``
+    context (e.g. the torch-parity tests) would otherwise leak in and make
+    Mosaic reject the bf16 operands ("Bad lhs type" — HIGHEST requests a
+    multi-pass split that Mosaic only implements for f32 inputs)."""
     if not exact:
         return jnp.dot(x.astype(jnp.bfloat16), onehot_bf16,
-                       preferred_element_type=jnp.float32)
+                       preferred_element_type=jnp.float32,
+                       precision=lax.Precision.DEFAULT)
     out = jnp.zeros((x.shape[0], onehot_bf16.shape[1]), dtype=jnp.float32)
     rem = x
     for _ in range(3):
         part = rem.astype(jnp.bfloat16)
         out = out + jnp.dot(part, onehot_bf16,
-                            preferred_element_type=jnp.float32)
+                            preferred_element_type=jnp.float32,
+                            precision=lax.Precision.DEFAULT)
         rem = rem - part.astype(jnp.float32)
     return out
 
