@@ -330,6 +330,61 @@ def test_fused_ball_group_fast_mode():
                                want - center, rtol=1e-2, atol=1e-2)
 
 
+def _collect_dot_precisions(jaxpr, out):
+    """All (operand dtypes, precision) pairs of dot_general eqns, recursing
+    through ClosedJaxpr params (custom_vjp_call) and raw Jaxpr params
+    (pallas_call's kernel body)."""
+    for eqn in jaxpr.eqns:
+        if eqn.primitive.name == "dot_general":
+            out.append((tuple(v.aval.dtype.name for v in eqn.invars),
+                        eqn.params.get("precision")))
+        for v in eqn.params.values():
+            for w in (v if isinstance(v, (list, tuple)) else [v]):
+                inner = getattr(w, "jaxpr", w)
+                if hasattr(inner, "eqns"):
+                    _collect_dot_precisions(inner, out)
+    return out
+
+
+@pytest.mark.parametrize("exact", [True, False])
+def test_kernel_dots_immune_to_ambient_precision(exact):
+    """Regression for the r5 Mosaic 'Bad lhs type' hardware failures: an
+    ambient ``jax.default_matmul_precision("highest")`` context (used by the
+    torch-parity tests) must NOT leak into the Pallas kernels' bf16 dots —
+    Mosaic only implements HIGHEST's multi-pass split for f32 operands, and
+    bf16 x bf16 -> f32 is single-pass exact under DEFAULT anyway. Every bf16
+    dot in the traced kernels must carry an explicit non-HIGHEST precision."""
+    from jax import lax
+    from tumseg.ops.pallas.group import group_points
+    from tumseg.ops.pallas.fusedgroup import fused_ball_group
+
+    rng = np.random.default_rng(15)
+    B, N, S, K, r = 1, 128, 32, 8, 0.2
+    src = jnp.asarray(rng.random((B, N, 6)), jnp.float32)
+    xyz = src[:, :, :3]
+    idx = jnp.asarray(rng.integers(0, N, (B, S, K)), jnp.int32)
+    new_xyz = jnp.asarray(rng.random((B, S, 3)), jnp.float32)
+
+    with jax.default_matmul_precision("highest"):
+        traces = [
+            jax.make_jaxpr(lambda i, s, n: group_points(
+                i, s, n, fast=not exact))(idx, src, new_xyz),
+            jax.make_jaxpr(lambda p, n, s: fused_ball_group(
+                r, K, p, n, s, fast=not exact))(xyz, xyz[:, :S], src),
+        ]
+    dots = []
+    for t in traces:
+        _collect_dot_precisions(t.jaxpr, dots)
+    bf16_dots = [(dt, prec) for dt, prec in dots if "bfloat16" in dt]
+    assert bf16_dots, "expected bf16 MXU dots in the kernel traces"
+    for dtypes, prec in bf16_dots:
+        assert prec is not None, (
+            f"unpinned bf16 dot {dtypes}: ambient precision would leak in")
+        assert lax.Precision.HIGHEST not in tuple(prec), (
+            f"bf16 dot {dtypes} traced at HIGHEST — Mosaic rejects this "
+            f"on hardware ('Bad lhs type')")
+
+
 # ---- z-window pruned variants (exactness incl. the on-device fallback) ----
 
 @pytest.mark.parametrize("r,window,s_tile", [(0.1, 256, 128), (0.25, 256, 64),
