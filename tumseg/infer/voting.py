@@ -36,6 +36,7 @@ import numpy as np
 from tumseg import ops as tumseg_ops
 from tumseg.parallel import mesh as pmesh
 from tumseg.train import metrics as M
+from tumseg.utils.progress import progress
 from tumseg.viz.writers import write_labels_txt, write_obj_pointcloud
 
 
@@ -610,7 +611,8 @@ class InferenceRunner:
         # randomness across scenes (the host path consumes one continuing
         # Generator stream and has no such correlation)
         scene_key = jax.random.fold_in(self._base_key, scene_idx)
-        for vote in range(num_votes):
+        # progress mirrors the reference's vote tqdm (localfunctions.py:375)
+        for vote in progress(range(num_votes), desc="votes"):
             k = jax.random.fold_in(scene_key, vote)
             idx_blocks = _reblock_on_device(k, flat_base, starts_pos,
                                             counts_pos, None, bp, segments)
@@ -652,7 +654,7 @@ class InferenceRunner:
         try:
             fut = executor.submit(dataset.grid_indices, scene_idx)
             bs = self.batch_size
-            for vote in range(num_votes):
+            for vote in progress(range(num_votes), desc="votes"):
                 idx_blocks, offsets = fut.result()
                 if vote + 1 < num_votes:
                     fut = executor.submit(dataset.grid_indices, scene_idx)
@@ -708,7 +710,7 @@ class InferenceRunner:
         try:
             fut = executor.submit(dataset.__getitem__, scene_idx)
             bs = self.batch_size
-            for vote in range(num_votes):
+            for vote in progress(range(num_votes), desc="votes"):
                 scene_data, scene_label, scene_smpw, scene_index = fut.result()
                 if vote + 1 < num_votes:
                     fut = executor.submit(dataset.__getitem__, scene_idx)

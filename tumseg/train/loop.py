@@ -31,6 +31,7 @@ import optax
 
 from tumseg.data import augment
 from tumseg.data.device_sampler import RoomBatch
+from tumseg.utils.progress import progress
 from tumseg.parallel import mesh as pmesh
 from tumseg.train import checkpoint as ckpt
 from tumseg.train import metrics as M
@@ -489,7 +490,9 @@ def fit(engine: TrainEngine, train_loader, eval_loader, *, start_epoch: int,
         room_buf = _SuperstepBuffer(superstep, engine.train_batch_rooms_multi,
                                     engine.train_batch_rooms)
         t0 = time.time()
-        for batch in train_loader:
+        # progress mirrors the reference's tqdm wrap (localfunctions.py:202);
+        # iteration-rate only — no device readbacks
+        for batch in progress(train_loader, total=num_batches, desc="train"):
             if isinstance(batch, RoomBatch):
                 # device pipeline: the batch exists only as room ids; blocks
                 # are sampled/featurized inside the step jit
@@ -536,7 +539,7 @@ def fit(engine: TrainEngine, train_loader, eval_loader, *, start_epoch: int,
         eval_seen = 0
         eval_buf = _SuperstepBuffer(superstep, engine.eval_batch_rooms_multi,
                                     engine.eval_batch_rooms)
-        for batch in eval_loader:
+        for batch in progress(eval_loader, total=eval_batches, desc="eval"):
             if isinstance(batch, RoomBatch):
                 if superstep > 1:
                     eval_seen += batch_size * num_point
