@@ -69,7 +69,7 @@ def _last_measured():
                     payload = line.split("last_measured:", 1)[1]
                     payload = payload.rsplit("-->", 1)[0]
                     obj = json.loads(payload)
-                    return obj.get(MODEL, obj) if MODEL in obj else None
+                    return obj.get(MODEL)
     except Exception:
         pass
     return None

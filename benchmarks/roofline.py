@@ -22,6 +22,10 @@ import jax
 
 jax.config.update("jax_platforms", "cpu")
 
+from tumseg.utils.cache import enable_compile_cache  # noqa: E402
+
+enable_compile_cache()
+
 import jax.numpy as jnp  # noqa: E402
 import numpy as np  # noqa: E402
 

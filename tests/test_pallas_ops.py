@@ -440,6 +440,30 @@ def test_ballquery_windowed_degenerate_z_falls_back():
     np.testing.assert_array_equal(got, want)
 
 
+@pytest.mark.parametrize("fallback", ["bp", "bp2"])
+def test_ballquery_windowed_bitpack_fallback_matches_xla(fallback):
+    """The dispatcher's default sa1 route is windowed with fallback="bp2"
+    (ops/__init__.py): when no tier covers, the sorted-glue path must hand
+    the ORIGINAL-order inputs to the bit-packed kernel and stay exact."""
+    from tumseg.ops.pallas.ballquery import query_ball_point_windowed
+
+    rng = np.random.default_rng(11)
+    # degenerate z: every query's in-radius span is the whole array, no
+    # tier covers -> the bp fallback branch runs
+    flat = rng.random((2, 512, 3))
+    flat[:, :, 2] = 0.5
+    # thin slab: the first tier covers -> fallback must NOT perturb routing
+    thin = rng.random((2, 512, 3))
+    thin[:, :, 2] *= 8.0
+    for pts in (flat, thin):
+        xyz = jnp.asarray(pts, jnp.float32)
+        new_xyz = xyz[:, :256, :]
+        want = np.asarray(xla_ops.query_ball_point(0.1, 8, xyz, new_xyz))
+        got = np.asarray(query_ball_point_windowed(
+            0.1, 8, xyz, new_xyz, (128, 256), 128, fallback=fallback))
+        np.testing.assert_array_equal(got, want)
+
+
 def test_threenn_windowed_matches_full():
     from tumseg.ops.pallas.threenn import (_three_nn_impl,
                                            _three_nn_windowed_impl)

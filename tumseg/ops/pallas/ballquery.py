@@ -28,6 +28,23 @@ from jax.experimental.pallas import tpu as pltpu
 _DEFAULT_S_TILE = 256
 
 
+def _legalize_lane_tile(s_tile: int, S: int) -> int:
+    """Legal query-tile size for kernels that tile queries on the MINOR
+    (lane) axis: a partial tile must be a 128-multiple that divides S, else
+    the full row (Mosaic block-shape rule — interpret mode tolerates
+    anything; real lowering rejects sub-128 partial lane tiles, the r5
+    hardware-suite failure class fixed in 7d456a7)."""
+    s_tile = min(s_tile, S)
+    if S % s_tile != 0:
+        return S
+    if s_tile < S and s_tile % 128 != 0:
+        cand = -(-s_tile // 128) * 128
+        while cand < S and S % cand != 0:
+            cand += 128
+        s_tile = min(cand, S)
+    return s_tile
+
+
 def _ballquery_kernel(radius: float, nsample: int, n_total: int,
                       xyz_ref, q_ref, out_ref):
     S_t = q_ref.shape[1]
@@ -138,9 +155,7 @@ def query_ball_point_t(radius: float, nsample: int, xyz: jnp.ndarray,
     """Transposed-peel query_ball_point (same contract as the row form)."""
     B, N, _ = xyz.shape
     S = new_xyz.shape[1]
-    s_tile = min(s_tile, S)
-    if S % s_tile != 0:
-        s_tile = S
+    s_tile = _legalize_lane_tile(s_tile, S)
 
     rowsxyz = xyz.astype(jnp.float32)                     # [B, N, 3]
     qplanes = jnp.transpose(new_xyz.astype(jnp.float32), (0, 2, 1))
@@ -317,9 +332,7 @@ def query_ball_point_bp(radius: float, nsample: int, xyz: jnp.ndarray,
     (bitpack_probe.py prints the effective variant per row)."""
     B, N, _ = xyz.shape
     S = new_xyz.shape[1]
-    s_tile = min(s_tile, S)
-    if S % s_tile != 0:
-        s_tile = S
+    s_tile = _legalize_lane_tile(s_tile, S)
     if N % 32 != 0:
         return query_ball_point(radius, nsample, xyz, new_xyz)
 
@@ -361,9 +374,7 @@ def query_ball_point_bp_multi(radii, nsamples, xyz: jnp.ndarray,
     nsamples = tuple(int(k) for k in nsamples)
     B, N, _ = xyz.shape
     S = new_xyz.shape[1]
-    s_tile = min(s_tile, S)
-    if S % s_tile != 0:
-        s_tile = S
+    s_tile = _legalize_lane_tile(s_tile, S)
     if N % 32 != 0:
         return tuple(query_ball_point(r, k, xyz, new_xyz)
                      for r, k in zip(radii, nsamples))
@@ -537,18 +548,12 @@ def query_ball_point_windowed(radius: float, nsample: int, xyz: jnp.ndarray,
     windows = (window,) if isinstance(window, int) else tuple(window)
     tiers = sorted({min(c, N) for c in windows})
     tiers = [c for c in tiers if c < N and c % 128 == 0]
-    s_tile = min(s_tile, S)
-    if S % s_tile != 0:
-        s_tile = S
-    if _WINDOW_TRANSPOSED and s_tile < S and s_tile % 128 != 0:
-        # Mosaic lane constraint: the transposed kernel tiles queries on the
-        # minor axis, so a partial tile must be a 128 multiple (interpret
-        # mode tolerates anything; real lowering rejects it). Round up to
-        # the smallest 128-multiple that divides S, else take the full row.
-        cand = -(-s_tile // 128) * 128
-        while cand < S and S % cand != 0:
-            cand += 128
-        s_tile = min(cand, S)
+    if _WINDOW_TRANSPOSED:
+        s_tile = _legalize_lane_tile(s_tile, S)
+    else:
+        s_tile = min(s_tile, S)
+        if S % s_tile != 0:
+            s_tile = S
     T = S // s_tile
     if not tiers or N % 128 != 0:
         return query_ball_point(radius, nsample, xyz, new_xyz)
