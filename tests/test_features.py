@@ -48,7 +48,7 @@ def test_geometric_features_isolated_points():
 
 def _reference_geometric_features(points, radius):
     """The pre-vectorization per-point SVD loop, kept verbatim as the oracle
-    for the closed-form/reduceat path (matches geofunction.py:49-98 math)."""
+    for the closed-form tiled-gram path (matches geofunction.py:49-98 math)."""
     from scipy.spatial import cKDTree
     from tumseg.data.features import pca_eigenvalues
     n = points.shape[0]

@@ -91,24 +91,83 @@ def _eigvals3_sym_desc(c: np.ndarray) -> np.ndarray:
     return np.where((p == 0.0)[:, None], q[:, None], lam)
 
 
+_TILE_ENTRY_BUDGET = 4_000_000  # padded entries materialized at once
+
+
+def _tile_moments(pts, chunk_q, counts, offsets, rows_e, cols_e, col_e,
+                  sel, start, s1, h2):
+    """Accumulate raw first/second moments for the selected rows of one
+    chunk into s1/h2 (query-LOCAL via the padding-count correction below).
+
+    Rows are padded to this tile's max count with the row's OWN global
+    index; a padding slot therefore gathers the query point q itself, whose
+    query-LOCAL coordinate is exactly zero — padding never contaminates the
+    moments. The gram runs on local (x - q) coordinates: a raw-coordinate
+    gram with an algebraic padding correction would save the subtraction
+    pass, but its |x|^2*eps cancellation lands exactly on the near-zero
+    lambda2 of planar neighborhoods, which cbrt amplifies ~1e-5 past the
+    SVD-oracle tolerance (measured)."""
+    counts_s = counts[sel]
+    kb = int(counts_s.max())
+    inv = np.full(counts.shape[0], -1, dtype=np.int64)
+    inv[sel] = np.arange(sel.size)
+    keep = inv[rows_e] >= 0
+    r_k = inv[rows_e[keep]]
+    c_k = cols_e[keep]
+    f_k = col_e[keep]
+    step = max(1, _TILE_ENTRY_BUDGET // kb)
+    for r0 in range(0, sel.size, step):
+        rsl = slice(r0, min(r0 + step, sel.size))
+        rows_g = sel[rsl]
+        pad = np.broadcast_to(
+            (start + rows_g)[:, None].astype(np.int64),
+            (rsl.stop - rsl.start, kb)).copy()
+        in_piece = (r_k >= rsl.start) & (r_k < rsl.stop)
+        pad[r_k[in_piece] - rsl.start, c_k[in_piece]] = f_k[in_piece]
+        # flat take + reshape: numpy's fancy indexing with a 2-D index
+        # array takes a ~12x slower iterator path than a 1-D contiguous
+        # take (measured, geofeat_bench.py)
+        local = pts.take(pad.ravel(), axis=0).reshape(pad.shape[0], kb, 3)
+        local -= chunk_q[rows_g, None, :]
+        s1[rows_g] = local.sum(axis=1)
+        g = np.matmul(local.transpose(0, 2, 1), local)
+        h2[rows_g, 0] = g[:, 0, 0]
+        h2[rows_g, 1] = g[:, 0, 1]
+        h2[rows_g, 2] = g[:, 0, 2]
+        h2[rows_g, 3] = g[:, 1, 1]
+        h2[rows_g, 4] = g[:, 1, 2]
+        h2[rows_g, 5] = g[:, 2, 2]
+
+
 def geometric_features(points: np.ndarray, radius: float = 0.8,
                        batch: int = 4096
                        ) -> Tuple[np.ndarray, np.ndarray, np.ndarray, List[int]]:
     """Per-point (planarity, omnivariance, surface_variation, non_index)
     for one room's [N, 3] cloud.
 
-    Fully vectorized (no per-point Python loop): each batch's cKDTree
-    neighbor lists are flattened into one index vector, neighborhood first
-    and second moments accumulate with a single ``np.add.reduceat`` over
-    QUERY-POINT-LOCAL coordinates (bounded by ``radius``, so the
-    sum-of-products covariance has no catastrophic cancellation even on
-    georeferenced UTM-scale tiles), and the 3x3 eigenvalues come from the
-    closed-form ``_eigvals3_sym_desc``. ~100x faster than the previous
-    per-point-SVD loop at 1M points (benchmarks/RESULTS.md) with values
-    matching the SVD oracle to ~1e-9. Batching bounds peak memory at
-    O(batch x mean_neighbors)."""
+    Fully vectorized (no per-point Python loop), engineered against the
+    measured bottlenecks (benchmarks/geofeat_bench.py keeps the honest A/B
+    vs the per-point-SVD loop it replaced):
+
+    - neighborhoods come from ONE dual-tree pass per chunk
+      (``cKDTree.sparse_distance_matrix`` COO output — C-built int32
+      row/col arrays; ``query_ball_point``'s Python list-of-lists costs
+      ~50 ns/entry just to flatten),
+    - rows are padded into [rows, k_tile] index tiles (two tiles per
+      chunk when counts are bimodal) and reduced by a batched 3x3 gram
+      over query-LOCAL coordinates — 9 multiply-adds per entry, no
+      per-entry term materialization (an earlier ``np.add.reduceat``
+      formulation wrote 9 f64 products per entry and was memory-bound —
+      slower than the SVD loop at the production radius),
+    - eigenvalues come from the closed-form ``_eigvals3_sym_desc``.
+
+    Query-local coordinates are bounded by ``radius``, so the covariance
+    has no catastrophic cancellation even on georeferenced UTM-scale
+    tiles (pinned by tests/test_features.py; values match the SVD oracle).
+    Peak memory is bounded by the tile entry budget."""
     n = points.shape[0]
     pts = np.asarray(points, dtype=np.float64)
+    pts = pts - pts.mean(axis=0)
     tree = cKDTree(pts)
     lp = np.zeros(n)
     lo = np.zeros(n)
@@ -117,33 +176,42 @@ def geometric_features(points: np.ndarray, radius: float = 0.8,
 
     for start in range(0, n, batch):
         chunk = pts[start:start + batch]
-        neighbor_lists = tree.query_ball_point(chunk, r=radius,
-                                               return_sorted=False)
-        m = len(neighbor_lists)
-        counts = np.fromiter((len(ix) for ix in neighbor_lists),
-                             dtype=np.int64, count=m)
-        # a query point always matches itself at distance 0, so counts >= 1
-        # and every reduceat segment is non-empty
-        flat = np.concatenate([np.asarray(ix, dtype=np.int64)
-                               for ix in neighbor_lists])
-        local = pts[flat] - np.repeat(chunk, counts, axis=0)
-        x, y, z = local[:, 0], local[:, 1], local[:, 2]
-        terms = np.stack([x, y, z,
-                          x * x, x * y, x * z,
-                          y * y, y * z, z * z], axis=1)
-        starts = np.zeros(m, dtype=np.int64)
-        np.cumsum(counts[:-1], out=starts[1:])
-        sums = np.add.reduceat(terms, starts, axis=0)
+        m = chunk.shape[0]
+        coo = cKDTree(chunk).sparse_distance_matrix(
+            tree, radius, output_type="coo_matrix")
+        counts = np.bincount(coo.row, minlength=m).astype(np.int64)
+        # entries grouped by query row (stable radix argsort on int32)
+        order = np.argsort(coo.row, kind="stable")
+        col_e = coo.col[order]
+        offsets = np.zeros(m, dtype=np.int64)
+        np.cumsum(counts[:-1], out=offsets[1:])
+        rows_e = np.repeat(np.arange(m, dtype=np.int64), counts)
+        cols_e = (np.arange(col_e.size, dtype=np.int64)
+                  - np.repeat(offsets, counts))
+
         cnt = counts.astype(np.float64)
-        mu = sums[:, :3] / cnt[:, None]
+        s1 = np.zeros((m, 3))
+        h2 = np.zeros((m, 6))
+        kmax = int(counts.max()) if m else 0
+        # one tile when counts are homogeneous; a small/large split when
+        # bimodal (padding fill would otherwise collapse to mean/kmax)
+        t = min(kmax, max(8, int(2 * col_e.size / max(m, 1))))
+        groups = [np.flatnonzero(counts <= t)]
+        if t < kmax:
+            groups.append(np.flatnonzero(counts > t))
+        for sel in groups:
+            if sel.size:
+                _tile_moments(pts, chunk, counts, offsets, rows_e, cols_e,
+                              col_e, sel, start, s1, h2)
+        mu = s1 / cnt[:, None]
         # centered second moment: H_ab = sum x_a x_b - n * mu_a mu_b
         packed = np.stack([
-            sums[:, 3] - cnt * mu[:, 0] * mu[:, 0],
-            sums[:, 4] - cnt * mu[:, 0] * mu[:, 1],
-            sums[:, 5] - cnt * mu[:, 0] * mu[:, 2],
-            sums[:, 6] - cnt * mu[:, 1] * mu[:, 1],
-            sums[:, 7] - cnt * mu[:, 1] * mu[:, 2],
-            sums[:, 8] - cnt * mu[:, 2] * mu[:, 2],
+            h2[:, 0] - cnt * mu[:, 0] * mu[:, 0],
+            h2[:, 1] - cnt * mu[:, 0] * mu[:, 1],
+            h2[:, 2] - cnt * mu[:, 0] * mu[:, 2],
+            h2[:, 3] - cnt * mu[:, 1] * mu[:, 1],
+            h2[:, 4] - cnt * mu[:, 1] * mu[:, 2],
+            h2[:, 5] - cnt * mu[:, 2] * mu[:, 2],
         ], axis=1)
         lam = np.maximum(_eigvals3_sym_desc(packed), 0.0)
         bad = (counts <= 1) | (lam[:, 0] <= 0.0)
