@@ -91,6 +91,18 @@ def test_geometric_features_matches_svd_loop_oracle(rng):
     np.testing.assert_allclose(lc_v, lc_r, atol=5e-7)
 
 
+def test_geometric_features_duplicate_points_match_oracle(rng):
+    # duplicate points produce distance-0 pairs, which the COO enumeration
+    # must keep as EXPLICIT zeros (a sparse container dropping them would
+    # silently shrink neighborhood counts and shift every mean); also the
+    # self-pair of every point is such an explicit zero
+    base = rng.uniform(0, 2, (150, 3))
+    pts = np.vstack([base, base[:40]])  # 40 exact duplicates
+    for got, want in zip(geometric_features(pts, radius=0.5)[:3],
+                         _reference_geometric_features(pts, 0.5)[:3]):
+        np.testing.assert_allclose(got, want, atol=5e-7)
+
+
 def test_geometric_features_georeferenced_offset_stable(rng):
     # UTM-scale coordinates (the real TUM tiles are georeferenced): the
     # query-point-local accumulation must not lose the signal to
