@@ -8,8 +8,11 @@ Fairness: the loop oracle queries the FULL cloud's cKDTree for each probe
 point (an earlier version of this bench reused the test-suite oracle, which
 builds its tree over the probe subset — ~100x sparser neighborhoods, i.e. a
 different workload entirely). The loop is timed on a probe subset and
-extrapolated linearly: both paths are O(N * mean_k) after the shared tree
-build, so per-point rate at fixed density is scale-free.
+extrapolated linearly: both paths are O(N * mean_k) per point at fixed
+density, so the per-point rate is scale-free. Tree builds sit OUTSIDE both
+timed regions (the full-cloud build is done once and reused across radii;
+geometric_features' own internal build, ~1% of its dense-radius time, stays
+inside its number — slightly understating the vectorized rate).
 
 The speedup is a function of the mean neighborhood size k:
 - small k (sparse clouds / small radius): the loop is bound by per-point
@@ -51,14 +54,11 @@ def make_room(n, rng):
     return np.concatenate([w1, w2, ground])
 
 
-def loop_oracle_rate(pts, probe_idx, radius):
+def loop_oracle_rate(pts, tree, probe_idx, radius):
     """Per-point rate of the pre-vectorization loop (one tree query + one
     SVD per point, tumseg r4 features.py / geofunction.py:49-98 math),
     querying the FULL cloud's tree so neighborhoods match the real
-    workload."""
-    from scipy.spatial import cKDTree
-
-    tree = cKDTree(pts)
+    workload. ``tree`` is the prebuilt full-cloud cKDTree."""
     t0 = time.perf_counter()
     k_sum = 0
     for i in probe_idx:
@@ -79,13 +79,15 @@ def main():
     rng = np.random.default_rng(0)
     pts = make_room(args.n, rng)
     probe = rng.choice(args.n, args.loop_n, replace=False)
+    from scipy.spatial import cKDTree
+    tree = cKDTree(pts)  # shared across radii; outside both timed regions
 
     for radius in (float(r) for r in args.radii.split(",")):
         t0 = time.perf_counter()
         geometric_features(pts, radius=radius)
         vec_s = time.perf_counter() - t0
         vec_rate = args.n / vec_s
-        loop_rate, mean_k = loop_oracle_rate(pts, probe, radius)
+        loop_rate, mean_k = loop_oracle_rate(pts, tree, probe, radius)
         print(f"r={radius}: mean_k={mean_k:,.0f}  "
               f"vectorized {vec_rate:,.0f} pts/s ({vec_s:.1f} s for "
               f"{args.n:,})  loop {loop_rate:,.0f} pts/s "

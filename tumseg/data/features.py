@@ -94,7 +94,7 @@ def _eigvals3_sym_desc(c: np.ndarray) -> np.ndarray:
 _TILE_ENTRY_BUDGET = 4_000_000  # padded entries materialized at once
 
 
-def _tile_moments(pts, chunk_q, counts, offsets, rows_e, cols_e, col_e,
+def _tile_moments(pts, chunk_q, counts, rows_e, cols_e, col_e,
                   sel, start, s1, h2):
     """Accumulate raw first/second moments for the selected rows of one
     chunk into s1/h2 (query-LOCAL via the padding-count correction below).
@@ -122,8 +122,11 @@ def _tile_moments(pts, chunk_q, counts, offsets, rows_e, cols_e, col_e,
         pad = np.broadcast_to(
             (start + rows_g)[:, None].astype(np.int64),
             (rsl.stop - rsl.start, kb)).copy()
-        in_piece = (r_k >= rsl.start) & (r_k < rsl.stop)
-        pad[r_k[in_piece] - rsl.start, c_k[in_piece]] = f_k[in_piece]
+        # r_k is ascending (rows_e is, and inv preserves sel's order), so
+        # each piece's entries are one contiguous slice — no O(E) rescan
+        # per piece
+        a, b = np.searchsorted(r_k, [rsl.start, rsl.stop])
+        pad[r_k[a:b] - rsl.start, c_k[a:b]] = f_k[a:b]
         # flat take + reshape: numpy's fancy indexing with a 2-D index
         # array takes a ~12x slower iterator path than a 1-D contiguous
         # take (measured, geofeat_bench.py)
@@ -164,7 +167,11 @@ def geometric_features(points: np.ndarray, radius: float = 0.8,
     Query-local coordinates are bounded by ``radius``, so the covariance
     has no catastrophic cancellation even on georeferenced UTM-scale
     tiles (pinned by tests/test_features.py; values match the SVD oracle).
-    Peak memory is bounded by the tile entry budget."""
+    The padded gather/gram tiles are bounded by the tile entry budget; the
+    per-chunk ENUMERATION arrays (COO row/col/data plus the entry-order
+    vectors) still scale with ``batch x mean_k`` — lower ``batch`` for
+    full-resolution dense tiles (and prefer the downsample-first flow,
+    ``attach_geofeatures``, which divides mean_k itself)."""
     n = points.shape[0]
     pts = np.asarray(points, dtype=np.float64)
     pts = pts - pts.mean(axis=0)
@@ -201,7 +208,7 @@ def geometric_features(points: np.ndarray, radius: float = 0.8,
             groups.append(np.flatnonzero(counts > t))
         for sel in groups:
             if sel.size:
-                _tile_moments(pts, chunk, counts, offsets, rows_e, cols_e,
+                _tile_moments(pts, chunk, counts, rows_e, cols_e,
                               col_e, sel, start, s1, h2)
         mu = s1 / cnt[:, None]
         # centered second moment: H_ab = sum x_a x_b - n * mu_a mu_b
