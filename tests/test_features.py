@@ -103,6 +103,21 @@ def test_geometric_features_duplicate_points_match_oracle(rng):
         np.testing.assert_allclose(got, want, atol=5e-7)
 
 
+def test_geometric_features_multi_piece_tiles_match(rng, monkeypatch):
+    # force the tile entry budget below one tile's worth so _tile_moments
+    # runs its piece loop (searchsorted slicing) — results must be
+    # bit-identical to the unconstrained single-piece path
+    from tumseg.data import features as F
+
+    pts = rng.uniform(0, 2, (500, 3))
+    want = geometric_features(pts, radius=0.5)
+    monkeypatch.setattr(F, "_TILE_ENTRY_BUDGET", 64)
+    got = geometric_features(pts, radius=0.5)
+    for g, w in zip(got[:3], want[:3]):
+        np.testing.assert_array_equal(g, w)
+    assert got[3] == want[3]
+
+
 def test_geometric_features_georeferenced_offset_stable(rng):
     # UTM-scale coordinates (the real TUM tiles are georeferenced): the
     # query-point-local accumulation must not lose the signal to
